@@ -1,0 +1,192 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters hyperparameters across three duplicated blocks
+(`/root/reference/main.py:63-79`, `/root/reference/train_standalone.py:772-805`,
+`/root/reference/hifigan/config.py:1-28`).  Here there is exactly one typed
+config tree, with the Matcha-TTS LJSpeech v1 preset as the default; it is
+hashable so it can be a static argument to `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioConfig:
+    """Log-mel feature extraction (reference: train_standalone.py:164-201)."""
+
+    sample_rate: int = 22050
+    n_fft: int = 1024
+    win_length: int = 1024
+    hop_length: int = 256
+    n_mels: int = 80
+    f_min: float = 0.0
+    f_max: float = 8000.0
+    # Global dataset statistics used for mel normalization
+    # (reference: train_standalone.py:802-805 — LJSpeech).
+    mel_mean: float = -5.536622
+    mel_std: float = 2.116101
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """Text encoder (reference: main.py:63-66, model.py:452-535)."""
+
+    encoder_type: str = "RoPE Encoder"
+    n_feats: int = 80
+    n_channels: int = 192
+    filter_channels: int = 768
+    n_heads: int = 2
+    n_layers: int = 6
+    kernel_size: int = 3
+    p_dropout: float = 0.1
+    prenet: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class DurationPredictorConfig:
+    """Duration predictor (reference: main.py:77-79, model.py:210-235)."""
+
+    filter_channels_dp: int = 256
+    kernel_size: int = 3
+    p_dropout: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """CFM U-Net estimator (reference: main.py:67-75, model.py:834-962)."""
+
+    channels: Tuple[int, ...] = (256, 256)
+    dropout: float = 0.05
+    attention_head_dim: int = 64
+    n_blocks: int = 1
+    num_mid_blocks: int = 2
+    num_heads: int = 2
+    act_fn: str = "snakebeta"
+
+
+@dataclasses.dataclass(frozen=True)
+class CFMConfig:
+    """Conditional flow matching (reference: main.py:76, model.py:1063-1109)."""
+
+    solver: str = "euler"  # "euler" | "midpoint"
+    sigma_min: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class HiFiGANConfig:
+    """HiFi-GAN v1 generator (reference: hifigan/config.py:1-28)."""
+
+    resblock: str = "1"
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = (
+        (1, 3, 5),
+        (1, 3, 5),
+        (1, 3, 5),
+    )
+    num_mels: int = 80
+    sampling_rate: int = 22050
+
+    @property
+    def total_upsample(self) -> int:
+        out = 1
+        for u in self.upsample_rates:
+            out *= u
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchaConfig:
+    """Top-level acoustic model config (reference: model.py:1173-1232)."""
+
+    n_vocab: int = 178
+    n_spks: int = 1
+    spk_emb_dim: int = 64
+    encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
+    duration_predictor: DurationPredictorConfig = dataclasses.field(
+        default_factory=DurationPredictorConfig
+    )
+    decoder: DecoderConfig = dataclasses.field(default_factory=DecoderConfig)
+    cfm: CFMConfig = dataclasses.field(default_factory=CFMConfig)
+    audio: AudioConfig = dataclasses.field(default_factory=AudioConfig)
+
+    @property
+    def decoder_in_channels(self) -> int:
+        # noisy mel + conditioning mel (+ speaker embedding when multi-speaker)
+        # reference: model.py:1207-1211
+        base = 2 * self.encoder.n_feats
+        if self.n_spks > 1:
+            base += self.spk_emb_dim
+        return base
+
+    @property
+    def num_downsamples(self) -> int:
+        # frames must be padded to a multiple of 2**num_downsamples
+        # (reference fix_len_compatibility, model.py:49-55)
+        return len(self.decoder.channels)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training orchestration (reference: train_standalone.py:757-886)."""
+
+    batch_size: int = 64  # per-chip, like the reference's per-GPU batch
+    learning_rate: float = 1e-4
+    max_epochs: int = 3000
+    grad_clip_norm: float = 5.0
+    prior_loss: bool = True
+    seed: int = 42
+    # bf16 compute on TPU stands in for the reference's "16-mixed" AMP
+    mixed_precision: bool = True
+    # static-shape bucketing replaces the reference's dynamic max-length pad
+    text_buckets: Tuple[int, ...] = (64, 128, 192, 256, 384, 512)
+    frame_buckets: Tuple[int, ...] = (128, 256, 384, 512, 768, 1024, 1536, 2048)
+    log_every_n_steps: int = 10
+    ckpt_every_n_steps: int = 2000
+    ckpt_keep: int = 3
+
+
+def config_to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: config_to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, tuple):
+        return [config_to_dict(v) for v in cfg]
+    return cfg
+
+
+def config_to_json(cfg: Any) -> str:
+    return json.dumps(config_to_dict(cfg), indent=2, sort_keys=True)
+
+
+def _tuplify(v: Any) -> Any:
+    if isinstance(v, list):
+        return tuple(_tuplify(x) for x in v)
+    return v
+
+
+def config_from_dict(cls, d: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or f.type in (
+            AudioConfig,
+            EncoderConfig,
+            DurationPredictorConfig,
+            DecoderConfig,
+            CFMConfig,
+            HiFiGANConfig,
+        ):
+            sub = f.default_factory() if f.default_factory is not dataclasses.MISSING else None
+            if isinstance(v, dict) and sub is not None:
+                kwargs[f.name] = config_from_dict(type(sub), v)
+                continue
+        kwargs[f.name] = _tuplify(v)
+    return cls(**kwargs)

@@ -1,0 +1,168 @@
+"""Monotonic Alignment Search (MAS) — on-device, batch-parallel.
+
+The reference computes MAS on the host: it copies the log-prior to CPU,
+runs a Numba-JIT scalar DP + backtrack per batch item, and copies the
+one-hot path back (reference: /root/reference/train_standalone.py:239-325).
+That device->host->device round trip serializes training.
+
+Here the same DP runs entirely on device:
+
+* The column recurrence  p[x] = v[x] + max(p[x-1], a[x])  (where `a` is the
+  previous column) is a max-plus linear recurrence, so each column is
+  evaluated in O(log T_x) depth with `jax.lax.associative_scan` over
+  elements (V, B) representing the affine-max map  p -> max(p + V, B):
+
+      (V1, B1) . (V2, B2) = (V1 + V2, max(B1 + V2, B2))
+
+* A `lax.scan` walks the T_y columns; a reverse `lax.scan` backtracks.
+* `jax.vmap` batches over items with per-item (t_x, t_y) lengths.
+
+Reference semantics are reproduced exactly, including its quirks:
+the banded iteration domain  x in [max(0, t_x + y - t_y), min(t_x, y+1))
+leaves out-of-band DP cells at 0 (which in-band cells may then read), and
+backtrack decrements only on a strict `>` comparison
+(train_standalone.py:250-276).  `maximum_path_numpy` is a scalar
+clean-room re-implementation of those semantics used as the parity oracle
+(and mirrored by the native C++ kernel in matcha_tts_tpu/native).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG = jnp.float32(-1e30)
+
+
+def _combine(left, right):
+    """Compose affine-max maps: apply `left` first, then `right`."""
+    v1, b1 = left
+    v2, b2 = right
+    return v1 + v2, jnp.maximum(b1 + v2, b2)
+
+
+def _forward_dp(value: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray) -> jnp.ndarray:
+    """Banded DP over one (T_x, T_y) lattice; returns the DP matrix.
+
+    value: (T_x, T_y) log-prior; t_x, t_y: scalar valid lengths.
+    """
+    t_x_size, _ = value.shape
+    xs = jnp.arange(t_x_size, dtype=jnp.int32)
+
+    def column_step(prev_col, inputs):
+        y, v = inputs  # v: (T_x,) column of value
+        band_lo = jnp.maximum(0, t_x + y - t_y)
+        band_hi = jnp.minimum(t_x, y + 1)
+        in_band = (xs >= band_lo) & (xs < band_hi)
+
+        # a[x] = prev column (0 outside its own band, as stored)
+        a = jnp.where(y > 0, prev_col, _NEG)
+        # x == 0, y == 0: p = v[0] (v_prev = 0)
+        a = jnp.where((xs == 0) & (y == 0), 0.0, a)
+
+        # carry path p[x-1] + v[x] is disabled at x == 0 (the scalar code
+        # never reads path[-1, y])
+        V = jnp.where(in_band & (xs > 0), v, _NEG)
+        B = jnp.where(in_band, a + v, jnp.where(xs > 0, _NEG, 0.0))
+        # out-of-band cells reset the carry to their stored value 0
+        B = jnp.where(in_band, B, 0.0)
+        V = jnp.where(in_band, V, _NEG)
+
+        _, b_acc = jax.lax.associative_scan(_combine, (V, B))
+        # p[-1] = 0 feeds only through V, which is _NEG at x == 0, so the
+        # accumulated B is already the column value.
+        col = jnp.where(in_band, b_acc, 0.0)
+        return col, col
+
+    ys = jnp.arange(value.shape[1], dtype=jnp.int32)
+    init = jnp.zeros((t_x_size,), dtype=value.dtype)
+    _, cols = jax.lax.scan(column_step, init, (ys, value.T))
+    return cols.T  # (T_x, T_y)
+
+
+def _backtrack(dp: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray) -> jnp.ndarray:
+    """Reverse scan emitting the one-hot path, matching
+    train_standalone.py:269-276 (strict `>` to step down)."""
+    t_x_size, t_y_size = dp.shape
+    xs = jnp.arange(t_x_size, dtype=jnp.int32)
+
+    # prev_cols[:, y] = dp[:, y-1]; y = 0 wraps like the reference's
+    # numpy read of column -1 (the decision at y == 0 is discarded anyway).
+    prev_cols = jnp.roll(dp, 1, axis=1)
+
+    def step(index, inputs):
+        y, prev_col = inputs
+        active = y < t_y
+        col = jnp.where(active & (xs == index), 1.0, 0.0)
+        down = prev_col[jnp.maximum(index - 1, 0)] > prev_col[index]
+        new_index = jnp.where(active & (index > 0) & down, index - 1, index)
+        return new_index, col
+
+    ys = jnp.arange(t_y_size - 1, -1, -1, dtype=jnp.int32)
+    _, cols = jax.lax.scan(step, t_x - 1, (ys, prev_cols[:, ys].T))
+    return cols[::-1].T.astype(dp.dtype)  # (T_x, T_y)
+
+
+def _maximum_path_single(value, t_x, t_y):
+    dp = _forward_dp(value, t_x, t_y)
+    return _backtrack(dp, t_x, t_y)
+
+
+def maximum_path(neg_cent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Batched on-device MAS.
+
+    neg_cent: (B, T_x, T_y) Gaussian log-prior
+    mask:     (B, T_x, T_y) attention-domain mask (x-mask x y-mask outer)
+    returns:  (B, T_x, T_y) one-hot monotonic path (same dtype as neg_cent)
+
+    Public semantics match `maximum_path` (train_standalone.py:280-325),
+    with lengths recovered from the mask exactly as the reference does.
+    """
+    dtype = neg_cent.dtype
+    value = neg_cent.astype(jnp.float32)
+    m = mask.astype(jnp.float32)
+    # t_x = number of valid x at y=0; t_y = valid y at x=0
+    # (train_standalone.py:290-291)
+    t_xs = jnp.sum(m[:, :, 0], axis=1).astype(jnp.int32)
+    t_ys = jnp.sum(m[:, 0, :], axis=1).astype(jnp.int32)
+    path = jax.vmap(_maximum_path_single)(value, t_xs, t_ys)
+    return path.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Scalar NumPy oracle (host) — parity reference for tests and for the C++
+# kernel.  Clean-room re-implementation of the algorithm described above.
+# ---------------------------------------------------------------------------
+
+
+def maximum_path_numpy(neg_cent: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Host scalar MAS with reference semantics (train_standalone.py:241-325)."""
+    value_all = neg_cent.astype(np.float32)
+    mask = np.asarray(mask)
+    b = value_all.shape[0]
+    t_xs = mask.sum(axis=1)[:, 0].astype(np.int32)
+    t_ys = mask.sum(axis=2)[:, 0].astype(np.int32)
+    paths = np.zeros_like(value_all, dtype=np.float32)
+
+    for i in range(b):
+        t_x, t_y = int(t_xs[i]), int(t_ys[i])
+        path = paths[i, :t_x, :t_y]
+        value = value_all[i, :t_x, :t_y]
+
+        for y in range(t_y):
+            for x in range(max(0, t_x + y - t_y), min(t_x, y + 1)):
+                if x == 0:
+                    v_prev = 0.0 if y == 0 else path[x, y - 1]
+                else:
+                    v_prev = path[x - 1, y] if y == 0 else max(path[x - 1, y], path[x, y - 1])
+                path[x, y] = v_prev + value[x, y]
+
+        index = t_x - 1
+        for y in range(t_y - 1, -1, -1):
+            path[:, y] = 0.0
+            path[index, y] = 1.0
+            if index > 0 and path[index - 1, y - 1] > path[index, y - 1]:
+                index -= 1
+
+    return paths

@@ -1,0 +1,73 @@
+"""MAS tests: the on-device associative-scan DP must match the scalar
+reference semantics (train_standalone.py:241-325) exactly, and produce
+valid monotonic one-hot paths."""
+
+import numpy as np
+
+from matcha_tts_tpu.ops import maximum_path, maximum_path_numpy
+from matcha_tts_tpu.ops.masking import sequence_mask
+
+
+def make_problem(rng, b, t_x, t_y):
+    """Random Gaussian-log-prior-like values and a ragged mask."""
+    neg_cent = rng.standard_normal((b, t_x, t_y)).astype(np.float32) * 3.0 - 5.0
+    t_xs = rng.integers(2, t_x + 1, size=b)
+    t_ys = np.maximum(rng.integers(2, t_y + 1, size=b), t_xs)  # t_y >= t_x typical
+    x_mask = np.asarray(sequence_mask(t_xs, t_x)).astype(np.float32)
+    y_mask = np.asarray(sequence_mask(t_ys, t_y)).astype(np.float32)
+    mask = x_mask[:, :, None] * y_mask[:, None, :]
+    return neg_cent, mask, t_xs, t_ys
+
+
+def test_matches_scalar_reference():
+    rng = np.random.default_rng(0)
+    neg_cent, mask, _, _ = make_problem(rng, 6, 24, 60)
+    ours = np.asarray(maximum_path(neg_cent, mask))
+    ref = maximum_path_numpy(neg_cent, mask)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_matches_scalar_reference_square_and_edge_cases():
+    rng = np.random.default_rng(1)
+    # square lattice, t_x == t_y (tight band) and tiny sizes
+    for b, tx, ty in [(4, 16, 16), (3, 5, 7), (2, 2, 2), (1, 1, 4), (5, 31, 33)]:
+        neg_cent = rng.standard_normal((b, tx, ty)).astype(np.float32)
+        t_xs = rng.integers(1, tx + 1, size=b)
+        t_ys = np.maximum(t_xs, rng.integers(1, ty + 1, size=b))
+        x_mask = np.asarray(sequence_mask(t_xs, tx)).astype(np.float32)
+        y_mask = np.asarray(sequence_mask(t_ys, ty)).astype(np.float32)
+        mask = x_mask[:, :, None] * y_mask[:, None, :]
+        ours = np.asarray(maximum_path(neg_cent, mask))
+        ref = maximum_path_numpy(neg_cent, mask)
+        np.testing.assert_array_equal(ours, ref, err_msg=f"b={b} tx={tx} ty={ty}")
+
+
+def test_path_properties():
+    rng = np.random.default_rng(2)
+    neg_cent, mask, t_xs, t_ys = make_problem(rng, 8, 20, 50)
+    path = np.asarray(maximum_path(neg_cent, mask))
+    for i in range(path.shape[0]):
+        p = path[i, : t_xs[i], : t_ys[i]]
+        # each frame (column) is assigned to exactly one token
+        np.testing.assert_array_equal(p.sum(axis=0), np.ones(t_ys[i]))
+        # token index is monotonically non-decreasing over frames
+        idx = p.argmax(axis=0)
+        assert (np.diff(idx) >= 0).all()
+        # ends at the last token, starts at token 0 region
+        assert idx[-1] == t_xs[i] - 1
+        # nothing outside the valid region
+        assert path[i, t_xs[i]:, :].sum() == 0
+        assert path[i, :, t_ys[i]:].sum() == 0
+
+
+def test_prefers_high_likelihood_diagonal():
+    # construct a log-prior with an obvious diagonal ridge; MAS must follow it
+    t = 12
+    neg_cent = np.full((1, t, 2 * t), -50.0, dtype=np.float32)
+    for x in range(t):
+        neg_cent[0, x, 2 * x] = 0.0
+        neg_cent[0, x, 2 * x + 1] = 0.0
+    mask = np.ones((1, t, 2 * t), dtype=np.float32)
+    path = np.asarray(maximum_path(neg_cent, mask))
+    idx = path[0].argmax(axis=0)
+    np.testing.assert_array_equal(idx, np.repeat(np.arange(t), 2))
