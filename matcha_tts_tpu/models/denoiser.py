@@ -1,0 +1,56 @@
+"""WaveGlow-style spectral denoiser (reference: /root/reference/hifigan/denoiser.py).
+
+Captures the vocoder's bias spectrum by running it once on a zero mel
+(denoiser.py:22-23,56-60), then at inference subtracts `strength * bias`
+from the STFT magnitude and resynthesizes with the original phase
+(denoiser.py:62-68).  Fully on-device: STFT/iSTFT run as XLA rfft/
+overlap-add (ops/stft.py), not cuFFT.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from matcha_tts_tpu.config import HiFiGANConfig
+from matcha_tts_tpu.models.hifigan import generator
+from matcha_tts_tpu.ops.stft import istft, stft_magnitude_and_phase
+
+
+class DenoiserState:
+    """Holds the precomputed bias spectrum (a buffer, not a parameter)."""
+
+    def __init__(self, bias_spec: jnp.ndarray, filter_length: int = 1024,
+                 n_overlap: int = 4, win_length: int = 1024):
+        self.bias_spec = bias_spec  # (n_freqs, 1)
+        self.filter_length = filter_length
+        self.hop_length = int(filter_length / n_overlap)
+        self.win_length = win_length
+
+
+def make_denoiser(vocoder_params, cfg: HiFiGANConfig, filter_length: int = 1024,
+                  n_overlap: int = 4, win_length: int = 1024,
+                  mode: str = "zeros") -> DenoiserState:
+    """Build the denoiser by probing the vocoder with a silent mel
+    (denoiser.py:14-60).  mode='zeros' matches the reference default."""
+    if mode == "zeros":
+        mel = jnp.zeros((1, 88, cfg.num_mels), jnp.float32)  # (B, T, C)
+    else:
+        raise ValueError(f"Mode {mode} not supported")
+    bias_audio = generator(vocoder_params, mel, cfg)[0]  # (T,)
+    hop = int(filter_length / n_overlap)
+    mag, _ = stft_magnitude_and_phase(bias_audio, filter_length, hop, win_length,
+                                      center=True)
+    bias_spec = mag[:, 0:1]  # first frame (denoiser.py:60)
+    return DenoiserState(bias_spec, filter_length, n_overlap, win_length)
+
+
+def denoise(state: DenoiserState, audio: jnp.ndarray,
+            strength: float = 0.0005) -> jnp.ndarray:
+    """audio: (B, T) -> (B, T') denoised (denoiser.py:62-68)."""
+    mag, phase = stft_magnitude_and_phase(
+        audio, state.filter_length, state.hop_length, state.win_length,
+        center=True,
+    )
+    mag = jnp.clip(mag - state.bias_spec[None] * strength, 0.0, None)
+    return istft(mag, phase, state.filter_length, state.hop_length,
+                 state.win_length)

@@ -1,0 +1,332 @@
+"""HiFi-GAN v1: generator, discriminators, GAN losses, TPU-native.
+
+Rebuilt from the vendored reference (/root/reference/hifigan/models.py):
+* Generator (models.py:148-197): conv_pre -> 4x [LeakyReLU -> transposed
+  conv upsample -> 3-kernel MRF resblock average] -> LeakyReLU ->
+  conv_post -> tanh, total x256 upsampling (= hop length).
+* ResBlock1 (models.py:14-103): 3 x [LReLU -> dilated conv -> LReLU ->
+  conv] residual chains; ResBlock2 (models.py:106-141): 2 dilated convs.
+* MPD / MSD discriminators + feature/LS-GAN losses (models.py:209-368) —
+  defined (and trainable) for fine-tuning parity; the reference defines
+  but never trains them.
+
+Weight-norm is *folded* at init/conversion time (g * v / ||v||), matching
+the reference's `remove_weight_norm()` inference path (models.py:199-206,
+main.py:149).  Activations are (B, T, C); audio is (B, T).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from matcha_tts_tpu.config import HiFiGANConfig
+from matcha_tts_tpu.models import nn
+
+LRELU_SLOPE = 0.1
+
+
+def _lrelu(x, slope=LRELU_SLOPE):
+    return jax.nn.leaky_relu(x, slope)
+
+
+def _get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+def _init_normal_conv(key, in_ch, out_ch, width, std=0.01):
+    """HiFi-GAN's init_weights: weights ~ N(0, 0.01), zero bias
+    (hifigan/xutils.py:25-28 + Conv default zero-mean bias folded)."""
+    kw, kb = jax.random.split(key)
+    return {
+        "weight": jax.random.normal(kw, (width, in_ch, out_ch)) * std,
+        "bias": jnp.zeros((out_ch,)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# MRF resblocks
+# ---------------------------------------------------------------------------
+
+
+def init_resblock1(key, channels: int, kernel_size: int, dilations=(1, 3, 5)):
+    keys = jax.random.split(key, 2 * len(dilations))
+    return {
+        "convs1": [
+            _init_normal_conv(keys[i], channels, channels, kernel_size)
+            for i in range(len(dilations))
+        ],
+        "convs2": [
+            _init_normal_conv(keys[len(dilations) + i], channels, channels, kernel_size)
+            for i in range(len(dilations))
+        ],
+    }
+
+
+def resblock1(params, x, kernel_size: int, dilations=(1, 3, 5)):
+    for c1, c2, d in zip(params["convs1"], params["convs2"], dilations):
+        xt = _lrelu(x)
+        xt = nn.conv1d(c1, xt, padding=_get_padding(kernel_size, d), dilation=d)
+        xt = _lrelu(xt)
+        xt = nn.conv1d(c2, xt, padding=_get_padding(kernel_size, 1))
+        x = xt + x
+    return x
+
+
+def init_resblock2(key, channels: int, kernel_size: int, dilations=(1, 3)):
+    keys = jax.random.split(key, len(dilations))
+    return {
+        "convs": [
+            _init_normal_conv(keys[i], channels, channels, kernel_size)
+            for i in range(len(dilations))
+        ]
+    }
+
+
+def resblock2(params, x, kernel_size: int, dilations=(1, 3)):
+    for c, d in zip(params["convs"], dilations):
+        xt = _lrelu(x)
+        xt = nn.conv1d(c, xt, padding=_get_padding(kernel_size, d), dilation=d)
+        x = xt + x
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Generator
+# ---------------------------------------------------------------------------
+
+
+def init_generator(key, cfg: HiFiGANConfig):
+    n_ups = len(cfg.upsample_rates)
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    keys = iter(jax.random.split(key, 2 + n_ups + n_ups * n_kernels))
+
+    params = {
+        "conv_pre": nn.init_conv1d(next(keys), cfg.num_mels,
+                                   cfg.upsample_initial_channel, 7),
+        "ups": [],
+        "resblocks": [],
+    }
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        in_ch = cfg.upsample_initial_channel // (2**i)
+        out_ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+        up = _init_normal_conv(next(keys), in_ch, out_ch, k)
+        params["ups"].append(up)
+        for kk, dd in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+            if cfg.resblock == "1":
+                params["resblocks"].append(init_resblock1(next(keys), out_ch, kk, dd))
+            else:
+                params["resblocks"].append(init_resblock2(next(keys), out_ch, kk, dd))
+    ch = cfg.upsample_initial_channel // (2 ** len(cfg.upsample_rates))
+    params["conv_post"] = _init_normal_conv(next(keys), ch, 1, 7)
+    return params
+
+
+def generator(params, mel: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
+    """mel: (B, T, num_mels) -> audio (B, T * prod(upsample_rates)).
+
+    Matches Generator.forward (hifigan/models.py:181-197) with weight norm
+    folded.
+    """
+    x = nn.conv1d(params["conv_pre"], mel, padding=3)
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        x = _lrelu(x)
+        x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
+        xs = None
+        for j in range(n_kernels):
+            rb = params["resblocks"][i * n_kernels + j]
+            kk = cfg.resblock_kernel_sizes[j]
+            dd = cfg.resblock_dilation_sizes[j]
+            y = (resblock1(rb, x, kk, dd) if cfg.resblock == "1"
+                 else resblock2(rb, x, kk, dd))
+            xs = y if xs is None else xs + y
+        x = xs / n_kernels
+    x = _lrelu(x, 0.01)  # final LReLU uses torch's default slope (models.py:193)
+    x = nn.conv1d(params["conv_post"], x, padding=3)
+    return jnp.tanh(x)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Discriminators (defined for completeness / fine-tuning; reference never
+# trains them — hifigan/models.py:209-334)
+# ---------------------------------------------------------------------------
+
+
+def init_discriminator_p(key, period: int, kernel_size=5, stride=3):
+    chs = [(1, 32), (32, 128), (128, 512), (512, 1024), (1024, 1024)]
+    keys = jax.random.split(key, len(chs) + 1)
+    convs = []
+    for i, (ic, oc) in enumerate(chs):
+        fan_in = ic * kernel_size
+        convs.append({
+            "weight": nn.kaiming_uniform(keys[i], (kernel_size, 1, ic, oc), fan_in),
+            "bias": jnp.zeros((oc,)),
+        })
+    conv_post = {
+        "weight": nn.kaiming_uniform(keys[-1], (3, 1, 1024, 1), 1024 * 3),
+        "bias": jnp.zeros((1,)),
+    }
+    del period  # periods are static structure, not parameters (see MPD_PERIODS)
+    return {"convs": convs, "conv_post": conv_post}
+
+
+def _conv2d(p, x, stride=(1, 1), padding=((0, 0), (0, 0))):
+    out = jax.lax.conv_general_dilated(
+        x, p["weight"], window_strides=stride, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + p["bias"]
+
+
+def discriminator_p(params, audio: jnp.ndarray, period: int, kernel_size=5, stride=3):
+    """audio: (B, T) -> (logits, feature maps); 1D->2D period folding
+    (models.py:225-244)."""
+    b, t = audio.shape
+    if t % period != 0:
+        n_pad = period - (t % period)
+        audio = jnp.pad(audio, ((0, 0), (0, n_pad)), mode="reflect")
+        t = t + n_pad
+    x = audio.reshape(b, t // period, period, 1)
+    fmap = []
+    for i, conv in enumerate(params["convs"]):
+        s = (stride, 1) if i < 4 else (1, 1)
+        pad = ((_get_padding(5, 1), _get_padding(5, 1)), (0, 0)) if i < 4 else ((2, 2), (0, 0))
+        x = _conv2d(conv, x, stride=s, padding=pad)
+        x = _lrelu(x)
+        fmap.append(x)
+    x = _conv2d(params["conv_post"], x, padding=((1, 1), (0, 0)))
+    fmap.append(x)
+    return x.reshape(b, -1), fmap
+
+
+MPD_PERIODS = (2, 3, 5, 7, 11)  # models.py:250-258
+
+
+def init_mpd(key):
+    keys = jax.random.split(key, len(MPD_PERIODS))
+    return {"discriminators": [init_discriminator_p(k, p) for k, p in zip(keys, MPD_PERIODS)]}
+
+
+def init_discriminator_s(key):
+    spec = [  # (in, out, kernel, stride, groups, padding)
+        (1, 128, 15, 1, 1, 7),
+        (128, 128, 41, 2, 4, 20),
+        (128, 256, 41, 2, 16, 20),
+        (256, 512, 41, 4, 16, 20),
+        (512, 1024, 41, 4, 16, 20),
+        (1024, 1024, 41, 1, 16, 20),
+        (1024, 1024, 5, 1, 1, 2),
+    ]
+    keys = jax.random.split(key, len(spec) + 1)
+    convs = []
+    for i, (ic, oc, k, s, g, p) in enumerate(spec):
+        fan_in = (ic // g) * k
+        convs.append({
+            "weight": nn.kaiming_uniform(keys[i], (k, ic // g, oc), fan_in),
+            "bias": jnp.zeros((oc,)),
+        })
+    conv_post = nn.init_conv1d(keys[-1], 1024, 1, 3)
+    return {"convs": convs, "conv_post": conv_post}
+
+
+_DS_SPEC = [
+    (15, 1, 1, 7),
+    (41, 2, 4, 20),
+    (41, 2, 16, 20),
+    (41, 4, 16, 20),
+    (41, 4, 16, 20),
+    (41, 1, 16, 20),
+    (5, 1, 1, 2),
+]
+
+
+def discriminator_s(params, audio: jnp.ndarray):
+    """(B, T) -> (logits, fmaps) (models.py:276-303)."""
+    x = audio[..., None]
+    fmap = []
+    for conv, (k, s, g, p) in zip(params["convs"], _DS_SPEC):
+        x = jax.lax.conv_general_dilated(
+            x, conv["weight"], window_strides=(s,), padding=[(p, p)],
+            dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=g,
+        ) + conv["bias"]
+        x = _lrelu(x)
+        fmap.append(x)
+    x = nn.conv1d(params["conv_post"], x, padding=1)
+    fmap.append(x)
+    return x.reshape(x.shape[0], -1), fmap
+
+
+def init_msd(key):
+    keys = jax.random.split(key, 3)
+    return {"discriminators": [init_discriminator_s(k) for k in keys]}
+
+
+def _avg_pool(x, kernel=4, stride=2, padding=2):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, kernel), (1, stride), [(0, 0), (padding, padding)]
+    ) / kernel
+
+
+def msd(params, y: jnp.ndarray, y_hat: jnp.ndarray):
+    outs_r, outs_g, fmaps_r, fmaps_g = [], [], [], []
+    for i, d in enumerate(params["discriminators"]):
+        if i != 0:
+            y = _avg_pool(y)
+            y_hat = _avg_pool(y_hat)
+        lr, fr = discriminator_s(d, y)
+        lg, fg = discriminator_s(d, y_hat)
+        outs_r.append(lr)
+        outs_g.append(lg)
+        fmaps_r.append(fr)
+        fmaps_g.append(fg)
+    return outs_r, outs_g, fmaps_r, fmaps_g
+
+
+def mpd(params, y: jnp.ndarray, y_hat: jnp.ndarray):
+    outs_r, outs_g, fmaps_r, fmaps_g = [], [], [], []
+    for d, period in zip(params["discriminators"], MPD_PERIODS):
+        lr, fr = discriminator_p(d, y, period)
+        lg, fg = discriminator_p(d, y_hat, period)
+        outs_r.append(lr)
+        outs_g.append(lg)
+        fmaps_r.append(fr)
+        fmaps_g.append(fg)
+    return outs_r, outs_g, fmaps_r, fmaps_g
+
+
+# ---------------------------------------------------------------------------
+# GAN losses (models.py:337-368)
+# ---------------------------------------------------------------------------
+
+
+def feature_loss(fmap_r: List, fmap_g: List):
+    loss = 0.0
+    for dr, dg in zip(fmap_r, fmap_g):
+        for rl, gl in zip(dr, dg):
+            loss += jnp.mean(jnp.abs(rl - gl))
+    return loss * 2.0
+
+
+def discriminator_loss(real_outs: List, gen_outs: List):
+    loss = 0.0
+    r_losses, g_losses = [], []
+    for dr, dg in zip(real_outs, gen_outs):
+        r = jnp.mean(jnp.square(1.0 - dr))
+        g = jnp.mean(jnp.square(dg))
+        loss += r + g
+        r_losses.append(r)
+        g_losses.append(g)
+    return loss, r_losses, g_losses
+
+
+def generator_loss(disc_outs: List):
+    loss = 0.0
+    gen_losses = []
+    for dg in disc_outs:
+        l = jnp.mean(jnp.square(1.0 - dg))
+        gen_losses.append(l)
+        loss += l
+    return loss, gen_losses

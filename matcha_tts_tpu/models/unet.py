@@ -1,0 +1,340 @@
+"""CFM estimator: 1D U-Net with transformer blocks
+(reference: /root/reference/model.py:576-1048).
+
+TPU-first notes:
+* (B, T, C) layout; all convs are `lax.conv_general_dilated` NWC.
+* Static shapes only — frame buckets are multiples of 2**num_downsamples,
+  so the reference's odd-length nearest-interp fix (model.py:1027-1028)
+  can never trigger; masks are strided (`mask[:, ::2]`) exactly like
+  model.py:1003.
+* GroupNorm statistics include padded frames, as in the reference
+  (see nn.group_norm docstring).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from matcha_tts_tpu.config import DecoderConfig
+from matcha_tts_tpu.models import nn
+from matcha_tts_tpu.models.nn import Rng
+
+# ---------------------------------------------------------------------------
+# SnakeBeta activation (reference: model.py:580-609)
+# ---------------------------------------------------------------------------
+
+
+def init_snake_beta(key, in_features: int, out_features: int):
+    return {
+        "proj": nn.init_linear(key, in_features, out_features),
+        # log-scale alpha/beta initialized to ZEROS -> exp() = 1
+        # (model.py:589-590)
+        "alpha": jnp.zeros((out_features,), jnp.float32),
+        "beta": jnp.zeros((out_features,), jnp.float32),
+    }
+
+
+def snake_beta(params, x):
+    x = nn.linear(params["proj"], x)
+    alpha = jnp.exp(params["alpha"]).astype(x.dtype)
+    beta = jnp.exp(params["beta"]).astype(x.dtype)
+    return x + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(x * alpha))
+
+
+# ---------------------------------------------------------------------------
+# Decoder feed-forward (reference: model.py:611-644)
+# ---------------------------------------------------------------------------
+
+
+def init_feed_forward(key, dim: int, mult: int = 4):
+    k1, k2 = jax.random.split(key)
+    inner = dim * mult
+    return {
+        "act": init_snake_beta(k1, dim, inner),
+        "out": nn.init_linear(k2, inner, dim),
+    }
+
+
+def feed_forward(params, x, *, dropout_p=0.0, rng: Optional[Rng] = None):
+    x = snake_beta(params["act"], x)
+    x = nn.dropout(x, dropout_p, rng)
+    return nn.linear(params["out"], x)
+
+
+# ---------------------------------------------------------------------------
+# Decoder attention, diffusers-style (reference: model.py:646-705)
+# ---------------------------------------------------------------------------
+
+
+def init_attention(key, query_dim: int, heads: int, dim_head: int):
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    inner = heads * dim_head
+    return {
+        "to_q": nn.init_linear(kq, query_dim, inner, bias=False),
+        "to_k": nn.init_linear(kk, query_dim, inner, bias=False),
+        "to_v": nn.init_linear(kv, query_dim, inner, bias=False),
+        "to_out": nn.init_linear(ko, inner, query_dim),
+    }
+
+
+def attention(params, x, key_mask, *, heads: int, dim_head: int,
+              dropout_p=0.0, rng: Optional[Rng] = None):
+    """x: (B, T, C); key_mask: (B, T) 1=keep.  Masked key positions are
+    filled with the dtype minimum (model.py:693-697) — unlike the encoder's
+    -1e4 fill."""
+    b, t, _ = x.shape
+    q = nn.linear(params["to_q"], x).reshape(b, t, heads, dim_head)
+    k = nn.linear(params["to_k"], x).reshape(b, t, heads, dim_head)
+    v = nn.linear(params["to_v"], x).reshape(b, t, heads, dim_head)
+    scale = dim_head ** -0.5
+    sim = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
+    neg = jnp.finfo(sim.dtype).min
+    sim = jnp.where(key_mask[:, None, None, :] == 0, neg, sim)
+    attn = jax.nn.softmax(sim, axis=-1)
+    out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b, t, heads * dim_head)
+    out = nn.linear(params["to_out"], out)
+    return nn.dropout(out, dropout_p, rng)
+
+
+# ---------------------------------------------------------------------------
+# BasicTransformerBlock: pre-norm attn + FF (reference: model.py:707-744)
+# ---------------------------------------------------------------------------
+
+
+def init_transformer_block(key, dim: int, heads: int, dim_head: int):
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm1": nn.init_norm(dim),
+        "attn1": init_attention(k1, dim, heads, dim_head),
+        "norm3": nn.init_norm(dim),
+        "ff": init_feed_forward(k2, dim),
+    }
+
+
+def transformer_block(params, x, key_mask, *, heads, dim_head, dropout_p=0.0,
+                      rng: Optional[Rng] = None):
+    h = nn.layer_norm(params["norm1"], x)
+    x = x + attention(params["attn1"], h, key_mask, heads=heads,
+                      dim_head=dim_head, dropout_p=dropout_p, rng=rng)
+    h = nn.layer_norm(params["norm3"], x)
+    x = x + feed_forward(params["ff"], h, dropout_p=dropout_p, rng=rng)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Time embedding (reference: model.py:747-762, 819-832)
+# ---------------------------------------------------------------------------
+
+
+def sinusoidal_pos_emb(t: jnp.ndarray, dim: int, scale: float = 1000.0):
+    """t: (B,) -> (B, dim); log-spaced frequencies, scale 1000
+    (model.py:753-762)."""
+    half = dim // 2
+    emb = math.log(10000.0) / (half - 1)
+    freqs = jnp.exp(jnp.arange(half, dtype=t.dtype) * -emb)
+    arg = scale * t[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(arg), jnp.cos(arg)], axis=-1)
+
+
+def init_timestep_embedding(key, in_channels: int, time_embed_dim: int):
+    k1, k2 = jax.random.split(key)
+    return {
+        "linear_1": nn.init_linear(k1, in_channels, time_embed_dim),
+        "linear_2": nn.init_linear(k2, time_embed_dim, time_embed_dim),
+    }
+
+
+def timestep_embedding(params, emb):
+    emb = nn.linear(params["linear_1"], emb)
+    emb = jax.nn.silu(emb)
+    return nn.linear(params["linear_2"], emb)
+
+
+# ---------------------------------------------------------------------------
+# Conv blocks (reference: model.py:764-817)
+# ---------------------------------------------------------------------------
+
+
+def init_block1d(key, dim: int, dim_out: int):
+    return {
+        "conv": nn.init_conv1d(key, dim, dim_out, 3),
+        "norm": nn.init_norm(dim_out),
+    }
+
+
+def block1d(params, x, mask, *, groups: int = 8):
+    """Conv(k=3) -> GroupNorm(8) -> Mish, masked in/out (model.py:764-775)."""
+    m = mask[..., None]
+    h = nn.conv1d(params["conv"], x * m, padding=1)
+    h = nn.group_norm(params["norm"], h, groups)
+    return nn.mish(h) * m
+
+
+def init_resnet_block1d(key, dim: int, dim_out: int, time_emb_dim: int):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "mlp": nn.init_linear(k1, time_emb_dim, dim_out),
+        "block1": init_block1d(k2, dim, dim_out),
+        "block2": init_block1d(k3, dim_out, dim_out),
+        "res_conv": nn.init_conv1d(k4, dim, dim_out, 1),
+    }
+
+
+def resnet_block1d(params, x, mask, t_emb):
+    """block1 -> (+ time-MLP broadcast) -> block2 -> + 1x1 residual
+    (model.py:777-790).  t_emb: (B, time_emb_dim)."""
+    h = block1d(params["block1"], x, mask)
+    h = h + nn.linear(params["mlp"], nn.mish(t_emb))[:, None, :]
+    h = block1d(params["block2"], h, mask)
+    return h + nn.conv1d(params["res_conv"], x * mask[..., None])
+
+
+# ---------------------------------------------------------------------------
+# U-Net decoder (reference: model.py:834-1048)
+# ---------------------------------------------------------------------------
+
+
+def init_decoder(key, in_channels: int, out_channels: int, cfg: DecoderConfig):
+    channels = tuple(cfg.channels)
+    time_dim = channels[0] * 4
+    n_levels = len(channels)
+    keys = iter(jax.random.split(key, 4 + 4 * n_levels + 2 * cfg.num_mid_blocks
+                                 + 4 * n_levels + 8))
+
+    params = {
+        "time_mlp": init_timestep_embedding(next(keys), in_channels, time_dim)
+    }
+
+    down = []
+    out_ch = in_channels
+    for i, ch in enumerate(channels):
+        in_ch, out_ch = out_ch, ch
+        is_last = i == n_levels - 1
+        level = {
+            "resnet": init_resnet_block1d(next(keys), in_ch, out_ch, time_dim),
+            "transformer_blocks": [
+                init_transformer_block(next(keys), out_ch, cfg.num_heads,
+                                       cfg.attention_head_dim)
+                for _ in range(cfg.n_blocks)
+            ],
+        }
+        # last level's "downsample" is a plain k=3 conv (model.py:895-897);
+        # earlier levels stride by 2.  Same param shape either way; the
+        # stride is decided by position in `decoder()`.
+        del is_last
+        level["downsample"] = nn.init_conv1d(next(keys), out_ch, out_ch, 3)
+        down.append(level)
+    params["down_blocks"] = down
+
+    mid = []
+    for _ in range(cfg.num_mid_blocks):
+        mid.append({
+            "resnet": init_resnet_block1d(next(keys), channels[-1], channels[-1], time_dim),
+            "transformer_blocks": [
+                init_transformer_block(next(keys), channels[-1], cfg.num_heads,
+                                       cfg.attention_head_dim)
+                for _ in range(cfg.n_blocks)
+            ],
+        })
+    params["mid_blocks"] = mid
+
+    up = []
+    rev = list(channels[::-1]) + [channels[0]]
+    for i in range(len(rev) - 1):
+        in_ch, out_ch2 = rev[i], rev[i + 1]
+        is_last = i == len(rev) - 2
+        level = {
+            # 2x input channels: skip concat (model.py:933-938)
+            "resnet": init_resnet_block1d(next(keys), 2 * in_ch, out_ch2, time_dim),
+            "transformer_blocks": [
+                init_transformer_block(next(keys), out_ch2, cfg.num_heads,
+                                       cfg.attention_head_dim)
+                for _ in range(cfg.n_blocks)
+            ],
+        }
+        if is_last:
+            # final level uses a plain k=3 conv (model.py:953-957)
+            level["upsample"] = nn.init_conv1d(next(keys), out_ch2, out_ch2, 3)
+        else:
+            level["upsample"] = nn.init_conv_transpose1d(next(keys), out_ch2, out_ch2, 4)
+        up.append(level)
+    params["up_blocks"] = up
+
+    params["final_block"] = init_block1d(next(keys), channels[-1], channels[-1])
+    params["final_proj"] = nn.init_conv1d(next(keys), channels[-1], out_channels, 1)
+    return params
+
+
+def decoder(params, x, mask, mu, t, cfg: DecoderConfig,
+            spk_emb: Optional[jnp.ndarray] = None,
+            rng: Optional[Rng] = None):
+    """CFM vector-field estimator (reference forward: model.py:964-1048).
+
+    x, mu: (B, T, n_feats); mask: (B, T); t: (B,) flow time in [0, 1].
+    Returns (B, T, n_feats).  T must be a multiple of 2**len(channels).
+    """
+    in_channels = x.shape[-1] + mu.shape[-1] + (spk_emb.shape[-1] if spk_emb is not None else 0)
+    t_emb = sinusoidal_pos_emb(t, in_channels)
+    t_emb = timestep_embedding(params["time_mlp"], t_emb)
+
+    h = jnp.concatenate([x, mu], axis=-1)
+    if spk_emb is not None:
+        s = jnp.broadcast_to(spk_emb[:, None, :], (h.shape[0], h.shape[1], spk_emb.shape[-1]))
+        h = jnp.concatenate([h, s], axis=-1)
+
+    heads, dim_head = cfg.num_heads, cfg.attention_head_dim
+    dropout_p = cfg.dropout if rng is not None else 0.0
+
+    n_levels = len(params["down_blocks"])
+    hiddens = []
+    masks = [mask]
+    for i, level in enumerate(params["down_blocks"]):
+        m = masks[-1]
+        h = resnet_block1d(level["resnet"], h, m, t_emb)
+        for tb in level["transformer_blocks"]:
+            h = transformer_block(tb, h, m, heads=heads, dim_head=dim_head,
+                                  dropout_p=dropout_p, rng=rng)
+        hiddens.append(h)
+        if i < n_levels - 1:
+            h = nn.conv1d(level["downsample"], h * m[..., None], stride=2, padding=1)
+            masks.append(m[:, ::2])
+        else:
+            # last level: plain conv, resolution unchanged; the appended
+            # (strided) mask is immediately dropped below, as in
+            # model.py:1003-1005
+            h = nn.conv1d(level["downsample"], h * m[..., None], padding=1)
+            masks.append(m)
+
+    masks = masks[:-1]
+    m_mid = masks[-1]
+    for block in params["mid_blocks"]:
+        h = resnet_block1d(block["resnet"], h, m_mid, t_emb)
+        for tb in block["transformer_blocks"]:
+            h = transformer_block(tb, h, m_mid, heads=heads, dim_head=dim_head,
+                                  dropout_p=dropout_p, rng=rng)
+
+    n_ups = len(params["up_blocks"])
+    for i, level in enumerate(params["up_blocks"]):
+        m = masks.pop()
+        skip = hiddens.pop()
+        assert h.shape[1] == skip.shape[1], (
+            "frame bucket must be a multiple of 2**num_downsamples"
+        )
+        h = jnp.concatenate([h, skip], axis=-1)
+        h = resnet_block1d(level["resnet"], h, m, t_emb)
+        for tb in level["transformer_blocks"]:
+            h = transformer_block(tb, h, m, heads=heads, dim_head=dim_head,
+                                  dropout_p=dropout_p, rng=rng)
+        if i < n_ups - 1:
+            h = nn.conv_transpose1d(level["upsample"], h * m[..., None], stride=2, padding=1)
+        else:
+            h = nn.conv1d(level["upsample"], h * m[..., None], padding=1)
+
+    m = mask
+    h = block1d(params["final_block"], h, m)
+    out = nn.conv1d(params["final_proj"], h * m[..., None])
+    return out * m[..., None]

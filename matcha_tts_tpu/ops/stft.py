@@ -154,7 +154,14 @@ def istft(
     trim = n_fft // 2  # undo center padding
     signal = signal[..., trim : out_len - trim]
     if length is not None:
-        signal = signal[..., :length]
+        # torch.istft(length=L) truncates or zero-pads to exactly L
+        cur = signal.shape[-1]
+        if length <= cur:
+            signal = signal[..., :length]
+        else:
+            signal = jnp.pad(
+                signal, [(0, 0)] * (signal.ndim - 1) + [(0, length - cur)]
+            )
     return signal
 
 

@@ -1,0 +1,10 @@
+"""Parallelism: device meshes, shardings, collectives-by-construction."""
+
+from matcha_tts_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    make_mesh_2d,
+    replicate,
+    replicated,
+    shard_batch,
+)

@@ -1,0 +1,209 @@
+"""Training orchestration: data-parallel fit loop, checkpointing, metrics
+(reference: /root/reference/train_standalone.py:580-886, rebuilt around
+jit + Mesh instead of Lightning + DDP/NCCL)."""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matcha_tts_tpu.config import MatchaConfig, TrainConfig, config_to_dict
+from matcha_tts_tpu.data.dataset import BucketBatcher, TextMelDataset
+from matcha_tts_tpu.models.matcha import init_matcha
+from matcha_tts_tpu.ops.stft import log_mel_spectrogram, normalize_mel
+from matcha_tts_tpu.parallel import mesh as pmesh
+from matcha_tts_tpu.train.train_state import (
+    TrainState,
+    create_train_state,
+    eval_step,
+    train_step,
+)
+
+
+def featurize_batch(batch: Dict[str, np.ndarray], cfg: MatchaConfig):
+    """Raw-audio batch -> model batch with on-device log-mel features.
+
+    The reference extracts mels in dataloader workers on host CPU
+    (train_standalone.py:408-423); here the STFT runs on the accelerator
+    as part of the same program that consumes it.
+    """
+    a = cfg.audio
+    mel = log_mel_spectrogram(
+        batch["audio"], a.sample_rate, a.n_fft, a.n_mels, a.hop_length,
+        a.win_length, a.f_min, a.f_max,
+    )  # (B, n_mels, T)
+    mel = normalize_mel(mel, a.mel_mean, a.mel_std)
+    out = {
+        "x": batch["x"],
+        "x_lengths": batch["x_lengths"],
+        "y": mel.transpose(0, 2, 1),  # (B, T, n_mels)
+        "y_lengths": batch["y_lengths"],
+    }
+    if "spks" in batch:
+        out["spks"] = batch["spks"]
+    return out
+
+
+class MetricsLogger:
+    """JSONL + stdout scalar logging (stands in for TensorBoardLogger,
+    train_standalone.py:860-872)."""
+
+    def __init__(self, log_dir):
+        self.path = Path(log_dir)
+        self.path.mkdir(parents=True, exist_ok=True)
+        self.file = open(self.path / "metrics.jsonl", "a", encoding="utf-8")
+
+    def log(self, step: int, split: str, metrics: Dict, extra: Optional[Dict] = None):
+        rec = {"step": step, "split": split,
+               **{k: float(v) for k, v in metrics.items()}}
+        if extra:
+            rec.update(extra)
+        self.file.write(json.dumps(rec) + "\n")
+        self.file.flush()
+        print(f"[{split} {step}] " + " ".join(f"{k}={float(v):.4f}"
+                                              for k, v in metrics.items()))
+
+
+class Checkpointer:
+    """Orbax-backed checkpoint save/restore with config + mel stats embedded
+    (reference embeds them as buffers + hparams, train_standalone.py:595,
+    618-621, 850-857)."""
+
+    def __init__(self, ckpt_dir, keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self.dir = Path(ckpt_dir).absolute()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.mngr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                                 create=True),
+        )
+
+    def save(self, step: int, state: TrainState, model_cfg: MatchaConfig):
+        import orbax.checkpoint as ocp
+
+        self.mngr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave({"params": state.params,
+                                             "opt_state": state.opt_state,
+                                             "step": state.step}),
+                config=ocp.args.JsonSave(config_to_dict(model_cfg)),
+            ),
+        )
+        self.mngr.wait_until_finished()
+
+    def restore(self, state: TrainState, step: Optional[int] = None):
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self.mngr.latest_step()
+        if step is None:
+            return None
+        restored = self.mngr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore({"params": state.params,
+                                                "opt_state": state.opt_state,
+                                                "step": state.step})
+            ),
+        )
+        st = restored["state"]
+        return TrainState(step=st["step"], params=st["params"],
+                          opt_state=st["opt_state"])
+
+
+def fit(
+    model_cfg: MatchaConfig,
+    train_cfg: TrainConfig,
+    train_filelist: str,
+    val_filelist: str,
+    work_dir: str = "runs/matcha",
+    max_steps: Optional[int] = None,
+    mesh=None,
+    resume: bool = True,
+):
+    """Data-parallel training driver.
+
+    With a mesh, batches are sharded over the "data" axis and parameters
+    replicated; XLA all-reduces gradients over ICI — the TPU-native DDP.
+    """
+    work = Path(work_dir)
+    logger = MetricsLogger(work)
+    ckpt = Checkpointer(work / "ckpt", keep=train_cfg.ckpt_keep)
+
+    train_ds = TextMelDataset(train_filelist, model_cfg.audio, model_cfg.n_spks,
+                              seed=train_cfg.seed)
+    val_ds = TextMelDataset(val_filelist, model_cfg.audio, model_cfg.n_spks,
+                            seed=train_cfg.seed)
+    train_batches = BucketBatcher(train_ds, train_cfg, shuffle=True,
+                                  seed=train_cfg.seed, drop_last=True)
+    val_batches = BucketBatcher(val_ds, train_cfg, shuffle=False)
+
+    key = jax.random.PRNGKey(train_cfg.seed)
+    k_init, k_train = jax.random.split(key)
+    params = init_matcha(k_init, model_cfg)
+    state = create_train_state(params, train_cfg)
+
+    if resume:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            print(f"Resumed from step {int(state.step)}")
+
+    if mesh is not None:
+        state = pmesh.replicate(mesh, state)
+
+    steps_per_epoch = max(1, len(train_ds) // train_cfg.batch_size)
+    total_steps = max_steps or steps_per_epoch * train_cfg.max_epochs
+
+    step = int(state.step)
+    t0 = time.time()
+    while step < total_steps:
+        for raw in train_batches:
+            if step >= total_steps:
+                break
+            if mesh is not None:
+                raw = pmesh.shard_batch(mesh, raw)
+            batch = featurize_batch(raw, model_cfg)
+            state, metrics = train_step(state, k_train, batch, model_cfg,
+                                        train_cfg)
+            step += 1
+            if step % train_cfg.log_every_n_steps == 0:
+                dt = time.time() - t0
+                frames = int(np.sum(np.asarray(raw["y_lengths"])))
+                logger.log(step, "train", metrics,
+                           {"sec_per_step": dt / train_cfg.log_every_n_steps,
+                            "frames_in_batch": frames})
+                t0 = time.time()
+            if step % train_cfg.ckpt_every_n_steps == 0:
+                ckpt.save(step, jax.device_get(state), model_cfg)
+                val_metrics = evaluate(state.params, val_batches, model_cfg,
+                                       train_cfg, mesh)
+                logger.log(step, "val", val_metrics)
+    ckpt.save(step, jax.device_get(state), model_cfg)
+    return state
+
+
+def evaluate(params, val_batches, model_cfg, train_cfg, mesh=None,
+             max_batches: int = 16):
+    sums, n = {}, 0
+    key = jax.random.PRNGKey(0)
+    for i, raw in enumerate(val_batches):
+        if i >= max_batches:
+            break
+        if mesh is not None:
+            raw = pmesh.shard_batch(mesh, raw)
+        batch = featurize_batch(raw, model_cfg)
+        m = eval_step(params, jax.random.fold_in(key, i), batch, model_cfg,
+                      train_cfg.prior_loss)
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n += 1
+    return {k: v / max(n, 1) for k, v in sums.items()}

@@ -1,0 +1,86 @@
+"""Optimizer + train step (reference: train_standalone.py:669-707).
+
+Adam(lr) with global-norm gradient clipping 5.0 (Lightning's
+`gradient_clip_val=5.0` default algorithm is norm clipping,
+train_standalone.py:869).  The step is one jitted function; under a
+data-parallel mesh sharding XLA inserts the psum gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from matcha_tts_tpu.config import MatchaConfig, TrainConfig
+from matcha_tts_tpu.train.losses import LossOutput, matcha_losses
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: dict
+    opt_state: optax.OptState
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.adam(cfg.learning_rate),
+    )
+
+
+def create_train_state(params, cfg: TrainConfig) -> TrainState:
+    tx = make_optimizer(cfg)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params))
+
+
+def loss_fn(params, key, batch, model_cfg: MatchaConfig, prior_loss: bool):
+    out = matcha_losses(
+        params, key,
+        batch["x"], batch["x_lengths"], batch["y"], batch["y_lengths"],
+        model_cfg, spks=batch.get("spks"), train=True,
+        prior_loss_enabled=prior_loss,
+    )
+    return out.total, out
+
+
+@functools.partial(jax.jit, static_argnames=("model_cfg", "train_cfg"),
+                   donate_argnames=("state",))
+def train_step(state: TrainState, key, batch, model_cfg: MatchaConfig,
+               train_cfg: TrainConfig):
+    """One optimizer step; returns (new_state, metrics dict)."""
+    key = jax.random.fold_in(key, state.step)
+    grads, out = jax.grad(loss_fn, has_aux=True)(
+        state.params, key, batch, model_cfg, train_cfg.prior_loss
+    )
+    tx = make_optimizer(train_cfg)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    metrics = {
+        "loss": out.total,
+        "dur_loss": out.dur_loss,
+        "prior_loss": out.prior_loss,
+        "cfm_loss": out.cfm_loss,
+        "grad_norm": optax.global_norm(grads),
+    }
+    return TrainState(state.step + 1, new_params, new_opt), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("model_cfg", "prior_loss"))
+def eval_step(params, key, batch, model_cfg: MatchaConfig, prior_loss: bool = True):
+    out = matcha_losses(
+        params, key,
+        batch["x"], batch["x_lengths"], batch["y"], batch["y_lengths"],
+        model_cfg, spks=batch.get("spks"), train=False,
+        prior_loss_enabled=prior_loss,
+    )
+    return {
+        "loss": out.total,
+        "dur_loss": out.dur_loss,
+        "prior_loss": out.prior_loss,
+        "cfm_loss": out.cfm_loss,
+    }

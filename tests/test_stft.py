@@ -75,7 +75,9 @@ def test_istft_roundtrip(length):
     mag, phase = stft_magnitude_and_phase(y, 1024, 256, 1024, center=True)
     y_rec = np.asarray(istft(mag, phase, 1024, 256, 1024, length=length))
     assert y_rec.shape == (length,)
-    np.testing.assert_allclose(y_rec, y, atol=5e-3)
+    # torch.istft semantics: only hop*(n_frames-1) samples are recoverable
+    n_rec = 256 * (length // 256)
+    np.testing.assert_allclose(y_rec[:n_rec], y[:n_rec], atol=5e-3)
 
 
 def test_istft_matches_torch():
