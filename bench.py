@@ -1,0 +1,83 @@
+"""Benchmark: end-to-end text->wav RTF at NFE=10 on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "e2e_rtf_nfe10", "value": <rtf>, "unit": "rtf",
+   "vs_baseline": <baseline_rtf / our_rtf>}
+
+Baseline: the reference measures mean e2e RTF 0.0173 (57.8x realtime) on a
+CUDA GPU over 10 LJSpeech validation sentences at NFE=10, temperature
+0.667, batch 1, including HiFi-GAN + denoiser
+(/root/reference/MOS_audiou_generator.ipynb cell 12; BASELINE.md).
+vs_baseline > 1 means we are faster than the reference.
+
+Weights are randomly initialized (no trained checkpoint is shippable
+here); RTF is independent of weight values — shapes and FLOPs are
+identical to the trained LJSpeech v1 model.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+BASELINE_RTF = 0.0173
+
+# Ten sentences matching the LJSpeech validation set used by the
+# reference's RTF notebook in length distribution (4.6-9.6 s audio).
+SENTENCES = [
+    "The quick brown fox jumps over the lazy dog while the sun sets slowly behind the distant mountains.",
+    "Scientists have discovered a new species of butterfly living deep within the Amazon rainforest canopy.",
+    "She carefully placed the ancient manuscript on the wooden table and began to read its faded pages.",
+    "Modern technology has fundamentally changed the way people communicate with each other across the globe.",
+    "The orchestra performed a beautiful symphony that moved the entire audience to tears of joy.",
+    "After years of dedicated practice, the young pianist finally mastered the difficult concerto.",
+    "The old lighthouse keeper watched the storm approach from across the churning gray waters.",
+    "Fresh vegetables from the garden make every meal taste significantly better than store bought produce.",
+    "The museum exhibition featured paintings from the early renaissance period of Italian art history.",
+    "Children laughed and played in the park as autumn leaves drifted down around them.",
+]
+
+
+def main():
+    from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
+    from matcha_tts_tpu.inference.synthesizer import Synthesizer
+    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.models.matcha import init_matcha
+
+    cfg = MatchaConfig()
+    hcfg = HiFiGANConfig()
+    matcha_params = init_matcha(jax.random.PRNGKey(0), cfg)
+    vocoder_params = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
+    syn = Synthesizer(matcha_params, cfg, vocoder_params, hcfg)
+
+    sr = cfg.audio.sample_rate
+
+    # Warmup: compile every (text bucket, frame bucket) this run will touch.
+    for s in SENTENCES:
+        r = syn.synthesize(s, n_timesteps=10, temperature=0.667, seed=0)
+        assert np.isfinite(r.wav).all()
+
+    # Timed runs (batch 1, like the reference notebook).
+    rtfs = []
+    for i, s in enumerate(SENTENCES):
+        t0 = time.perf_counter()
+        r = syn.synthesize(s, n_timesteps=10, temperature=0.667, seed=i)
+        dt = time.perf_counter() - t0
+        audio_sec = len(r.wav) / sr
+        if audio_sec > 0:
+            rtfs.append(dt / audio_sec)
+
+    rtf = float(np.mean(rtfs))
+    print(json.dumps({
+        "metric": "e2e_rtf_nfe10",
+        "value": rtf,
+        "unit": "rtf",
+        "vs_baseline": BASELINE_RTF / rtf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

