@@ -1,0 +1,146 @@
+"""Evaluation harness: RTF + (optional) WER, the reference notebooks' job
+(MOS_audiou_generator.ipynb cells 11-14, evaluation.ipynb cells 9-13).
+
+RTF: synthesize N sentences at NFE=10, temperature 0.667, batch 1, report
+per-sentence and mean RTF (text->wav wall time / audio duration).
+
+WER: if a local Whisper model is available via `transformers`
+(no network egress here, so this requires pre-downloaded weights), run ASR
+on the synthesized audio and compute word error rate with a self-contained
+Levenshtein implementation (no `jiwer` dependency).
+
+Usage:
+  python benchmarks/evaluate.py [--checkpoint ...] [--vocoder ...]
+  python benchmarks/evaluate.py --whisper /path/to/whisper-medium
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+# The 10 LJSpeech-style validation sentences used by bench.py (matched in
+# length distribution to the reference's RTF set).
+from bench import SENTENCES
+
+
+def word_error_rate(ref: str, hyp: str) -> float:
+    """Levenshtein WER (jiwer-equivalent for plain word sequences)."""
+    r, h = ref.lower().split(), hyp.lower().split()
+    d = np.zeros((len(r) + 1, len(h) + 1), np.int32)
+    d[:, 0] = np.arange(len(r) + 1)
+    d[0, :] = np.arange(len(h) + 1)
+    for i in range(1, len(r) + 1):
+        for j in range(1, len(h) + 1):
+            sub = d[i - 1, j - 1] + (r[i - 1] != h[j - 1])
+            d[i, j] = min(sub, d[i - 1, j] + 1, d[i, j - 1] + 1)
+    return float(d[len(r), len(h)]) / max(len(r), 1)
+
+
+def normalize_for_wer(text: str) -> str:
+    import re
+
+    text = text.lower()
+    text = re.sub(r"[^a-z' ]", " ", text)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--vocoder", type=str, default=None)
+    p.add_argument("--nfe", type=int, default=10)
+    p.add_argument("--whisper", type=str, default=None,
+                   help="local path to a Whisper model for WER")
+    p.add_argument("--out_dir", type=str, default=None,
+                   help="write synthesized WAVs here")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
+    from matcha_tts_tpu.inference.synthesizer import Synthesizer
+    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.models.matcha import init_matcha
+    from matcha_tts_tpu.params.convert import (
+        convert_hifigan,
+        convert_matcha,
+        load_torch_state_dict,
+    )
+    from matcha_tts_tpu.utils.wav import write_wav
+
+    cfg, hcfg = MatchaConfig(), HiFiGANConfig()
+    if args.checkpoint:
+        mp = convert_matcha(load_torch_state_dict(args.checkpoint), cfg)
+    else:
+        mp = init_matcha(jax.random.PRNGKey(0), cfg)
+    if args.vocoder:
+        vp = convert_hifigan(load_torch_state_dict(args.vocoder), hcfg)
+    else:
+        vp = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
+
+    syn = Synthesizer(mp, cfg, vp, hcfg)
+    sr = cfg.audio.sample_rate
+
+    # warmup compiles
+    for s in SENTENCES:
+        syn.synthesize(s, n_timesteps=args.nfe, seed=0)
+
+    records = []
+    wavs = []
+    for i, s in enumerate(SENTENCES):
+        t0 = time.perf_counter()
+        r = syn.synthesize(s, n_timesteps=args.nfe, temperature=0.667, seed=i)
+        dt = time.perf_counter() - t0
+        audio_sec = len(r.wav) / sr
+        records.append({"i": i, "wall_s": dt, "audio_s": audio_sec,
+                        "rtf": dt / audio_sec})
+        wavs.append(r.wav)
+        if args.out_dir:
+            Path(args.out_dir).mkdir(parents=True, exist_ok=True)
+            write_wav(Path(args.out_dir) / f"sent{i}.wav", r.wav, sr)
+        print(json.dumps(records[-1]))
+
+    rtfs = [r["rtf"] for r in records]
+    summary = {"mean_rtf": float(np.mean(rtfs)),
+               "min_rtf": float(np.min(rtfs)),
+               "max_rtf": float(np.max(rtfs)),
+               "nfe": args.nfe}
+
+    if args.whisper:
+        try:
+            import torch
+            from transformers import (WhisperForConditionalGeneration,
+                                      WhisperProcessor)
+
+            proc = WhisperProcessor.from_pretrained(args.whisper)
+            model = WhisperForConditionalGeneration.from_pretrained(args.whisper)
+            wers = []
+            for s, w in zip(SENTENCES, wavs):
+                # Whisper expects 16 kHz; naive resample via linear interp
+                t_src = np.arange(len(w)) / sr
+                t_dst = np.arange(int(len(w) * 16000 / sr)) / 16000
+                w16 = np.interp(t_dst, t_src, w).astype(np.float32)
+                inputs = proc(w16, sampling_rate=16000, return_tensors="pt")
+                with torch.no_grad():
+                    ids = model.generate(inputs.input_features)
+                hyp = proc.batch_decode(ids, skip_special_tokens=True)[0]
+                wers.append(word_error_rate(normalize_for_wer(s),
+                                            normalize_for_wer(hyp)))
+            summary["mean_wer"] = float(np.mean(wers))
+        except Exception as e:  # pragma: no cover
+            summary["wer_error"] = str(e)[:200]
+
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

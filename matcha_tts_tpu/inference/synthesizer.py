@@ -40,7 +40,8 @@ FRAMES_PER_TOKEN_GUESS = 8
 
 @functools.partial(jax.jit, static_argnames=("matcha_cfg", "hifi_cfg",
                                              "n_timesteps", "t_y_max",
-                                             "temperature", "length_scale"))
+                                             "temperature", "length_scale",
+                                             "compute_dtype"))
 def _synthesize_to_wav(
     matcha_params,
     vocoder_params,
@@ -54,15 +55,18 @@ def _synthesize_to_wav(
     temperature: float,
     length_scale: float,
     spks=None,
+    compute_dtype: str = "float32",
 ):
     """One fused graph: encoder -> duration -> Euler CFM -> HiFi-GAN."""
     out = synthesize(matcha_params, key, x, x_lengths, matcha_cfg,
                      n_timesteps=n_timesteps, t_y_max=t_y_max,
                      temperature=temperature, length_scale=length_scale,
-                     spks=spks)
+                     spks=spks, compute_dtype=compute_dtype)
     mel_btc = out.mel.transpose(0, 2, 1)  # (B, T, n_mels)
-    wav = hifigan_mod.generator(vocoder_params, mel_btc, hifi_cfg)
-    wav = jnp.clip(wav, -1.0, 1.0)
+    wav = hifigan_mod.generator(vocoder_params,
+                                mel_btc.astype(jnp.dtype(compute_dtype)),
+                                hifi_cfg)
+    wav = jnp.clip(wav.astype(jnp.float32), -1.0, 1.0)
     return out, wav
 
 
@@ -85,6 +89,7 @@ class Synthesizer:
         hifi_cfg: Optional[HiFiGANConfig] = None,
         text_buckets: Sequence[int] = DEFAULT_TEXT_BUCKETS,
         frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
+        compute_dtype: str = "float32",
     ):
         self.matcha_params = matcha_params
         self.matcha_cfg = matcha_cfg
@@ -92,6 +97,7 @@ class Synthesizer:
         self.hifi_cfg = hifi_cfg or HiFiGANConfig()
         self.text_buckets = tuple(text_buckets)
         self.frame_buckets = tuple(frame_buckets)
+        self.compute_dtype = compute_dtype
 
     # -- bucketing ---------------------------------------------------------
 
@@ -138,6 +144,7 @@ class Synthesizer:
             jnp.asarray(x), jnp.asarray(x_lengths),
             self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
             temperature, length_scale, spks=spks,
+            compute_dtype=self.compute_dtype,
         )
         y_len = int(out.y_lengths[0])
         if y_len >= t_y and t_y != self.frame_buckets[-1]:
@@ -149,6 +156,7 @@ class Synthesizer:
                 jnp.asarray(x), jnp.asarray(x_lengths),
                 self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
                 temperature, length_scale, spks=spks,
+                compute_dtype=self.compute_dtype,
             )
             y_len = int(out.y_lengths[0])
 
@@ -231,6 +239,7 @@ class Synthesizer:
                 jnp.asarray(x), jnp.asarray(x_lengths),
                 self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
                 temperature, length_scale,
+                compute_dtype=self.compute_dtype,
             )
             wav_np = np.asarray(wav)
             for row, i in enumerate(idxs):

@@ -31,18 +31,23 @@ def solve(
     """
     b = z.shape[0]
     dt = 1.0 / n_timesteps
+    cdtype = mu.dtype  # compute dtype for the estimator (may be bf16)
+    # integration state is kept in fp32 even under bf16 compute, so the
+    # NFE-step accumulation does not lose precision
+    z = z.astype(jnp.float32)
 
     if solver == "euler":
         for i in range(n_timesteps):
-            t = jnp.full((b,), i / n_timesteps, z.dtype)
-            z = z + estimator(z, mask, mu, t) * dt
+            t = jnp.full((b,), i / n_timesteps, cdtype)
+            v = estimator(z.astype(cdtype), mask, mu, t)
+            z = z + v.astype(jnp.float32) * dt
     elif solver == "midpoint":
         for i in range(n_timesteps):
-            t = jnp.full((b,), i / n_timesteps, z.dtype)
-            pred = estimator(z, mask, mu, t)
-            z_mid = z + pred * (dt * 0.5)
-            pred_mid = estimator(z_mid, mask, mu, t + dt * 0.5)
-            z = z + pred_mid * dt
+            t = jnp.full((b,), i / n_timesteps, cdtype)
+            pred = estimator(z.astype(cdtype), mask, mu, t)
+            z_mid = z + pred.astype(jnp.float32) * (dt * 0.5)
+            pred_mid = estimator(z_mid.astype(cdtype), mask, mu, t + dt * 0.5)
+            z = z + pred_mid.astype(jnp.float32) * dt
     else:
         raise NotImplementedError(f"Solver {solver} not implemented")
     return z
@@ -57,8 +62,9 @@ def sample(
     temperature: float = 1.0,
     solver: str = "euler",
 ) -> jnp.ndarray:
-    """z ~ N(0, I) * temperature, then ODE-solve (model.py:1084-1109)."""
-    z = jax.random.normal(key, mu.shape, mu.dtype) * temperature
+    """z ~ N(0, I) * temperature, then ODE-solve (model.py:1084-1109).
+    Noise is drawn in fp32 for reproducibility across compute dtypes."""
+    z = jax.random.normal(key, mu.shape, jnp.float32) * temperature
     return solve(estimator, z, mask, mu, n_timesteps, solver)
 
 

@@ -69,7 +69,7 @@ class SynthesisOutput(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_timesteps", "t_y_max", "temperature",
-                     "length_scale", "solver"),
+                     "length_scale", "solver", "compute_dtype"),
 )
 def synthesize(
     params,
@@ -84,6 +84,7 @@ def synthesize(
     length_scale: float = 1.0,
     solver: Optional[str] = None,
     spks: Optional[jnp.ndarray] = None,
+    compute_dtype: str = "float32",
 ) -> SynthesisOutput:
     """Full text -> mel inference in ONE jitted graph
     (reference: model.py:1264-1300).
@@ -93,15 +94,19 @@ def synthesize(
     2**num_downsamples); frames past the predicted length are masked and
     the true length is returned for host-side cropping.
     """
+    dtype = jnp.dtype(compute_dtype)
     spk_emb = None
     if cfg.n_spks > 1 and spks is not None:
         spk_emb = nn.embedding(params["spk_emb"], spks)
 
     mu, logw, x_mask = text_encoder(params["encoder"], x, x_lengths,
                                     cfg.encoder, cfg.duration_predictor,
-                                    spk_emb=spk_emb, rng=None)
+                                    spk_emb=spk_emb, rng=None,
+                                    compute_dtype=dtype)
 
-    # durations (model.py:1273-1275)
+    # durations computed in fp32 for stable exp/ceil (model.py:1273-1275)
+    logw = logw.astype(jnp.float32)
+    x_mask = x_mask.astype(jnp.float32)
     w = jnp.exp(logw[..., 0]) * x_mask * length_scale
     w_ceil = jnp.ceil(w)
     y_lengths = jnp.maximum(jnp.sum(w_ceil, axis=1), 1.0).astype(jnp.int32)
@@ -109,18 +114,20 @@ def synthesize(
     # prediction overflows (host driver picks a bigger bucket next time)
     y_lengths = jnp.minimum(y_lengths, t_y_max)
 
-    y_mask = sequence_mask(y_lengths, t_y_max).astype(mu.dtype)
+    y_mask = sequence_mask(y_lengths, t_y_max).astype(jnp.float32)
     attn_mask = x_mask[:, :, None] * y_mask[:, None, :]
     attn = generate_path(w_ceil, attn_mask)  # (B, T_x, T_y)
 
     # mu_y[b, y, c] = sum_x attn[b, x, y] * mu[b, x, c] (model.py:1288-1289)
-    mu_y = jnp.einsum("bxy,bxc->byc", attn, mu)
+    mu_y = jnp.einsum("bxy,bxc->byc", attn.astype(dtype), mu.astype(dtype),
+                      preferred_element_type=jnp.float32).astype(dtype)
 
     est = estimator_fn(params, cfg, spk_emb=spk_emb, rng=None)
-    mel = cfm.sample(est, key, mu_y, y_mask, n_timesteps,
+    mel = cfm.sample(est, key, mu_y, y_mask.astype(dtype), n_timesteps,
                      temperature=temperature,
                      solver=solver or cfg.cfm.solver)
 
+    mel = mel.astype(jnp.float32)
     mel = denormalize_mel(mel, params["mel_mean"], params["mel_std"])
     mel = mel * y_mask[..., None]
     # reference returns (B, n_feats, T) (model.py:1298-1300)

@@ -110,7 +110,11 @@ def init_embedding(key, n_vocab: int, dim: int, std: float, dtype=jnp.float32):
 
 def conv1d(params, x: jnp.ndarray, stride: int = 1, padding: int = 0,
            dilation: int = 1) -> jnp.ndarray:
-    """1D convolution, torch.nn.Conv1d semantics, (B, T, C) layout."""
+    """1D convolution, torch.nn.Conv1d semantics, (B, T, C) layout.
+
+    When `x` is bf16 the MXU runs bf16 multiplies with fp32 accumulation
+    (preferred_element_type) — the TPU equivalent of the reference's
+    "16-mixed" AMP (train_standalone.py:764)."""
     out = jax.lax.conv_general_dilated(
         x,
         params["weight"].astype(x.dtype),
@@ -118,7 +122,9 @@ def conv1d(params, x: jnp.ndarray, stride: int = 1, padding: int = 0,
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
     )
+    out = out.astype(x.dtype)
     if "bias" in params:
         out = out + params["bias"].astype(x.dtype)
     return out
@@ -142,7 +148,9 @@ def conv_transpose1d(params, x: jnp.ndarray, stride: int, padding: int) -> jnp.n
         padding=[(pad, pad)],
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
     )
+    out = out.astype(x.dtype)
     if "bias" in params:
         out = out + params["bias"].astype(x.dtype)
     return out
@@ -162,7 +170,8 @@ def init_conv_transpose1d(key, in_ch: int, out_ch: int, width: int,
 
 
 def linear(params, x: jnp.ndarray) -> jnp.ndarray:
-    out = jnp.einsum("...i,io->...o", x, params["weight"].astype(x.dtype))
+    out = jnp.einsum("...i,io->...o", x, params["weight"].astype(x.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
     if "bias" in params:
         out = out + params["bias"].astype(x.dtype)
     return out
@@ -170,23 +179,31 @@ def linear(params, x: jnp.ndarray) -> jnp.ndarray:
 
 def channel_layer_norm(params, x: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
     """The reference's custom LayerNorm over channels with eps 1e-4 and
-    rsqrt normalization (model.py:148-166); channels-last here."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    x = (x - mean) * jax.lax.rsqrt(var + eps)
-    return x * params["gamma"].astype(x.dtype) + params["beta"].astype(x.dtype)
+    rsqrt normalization (model.py:148-166); channels-last here.
+    Statistics are computed in fp32 regardless of the compute dtype."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = xf * params["gamma"] + params["beta"]
+    return out.astype(dtype)
 
 
 def layer_norm(params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """torch.nn.LayerNorm semantics (decoder blocks, model.py:720,730)."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    x = (x - mean) * jax.lax.rsqrt(var + eps)
-    return x * params["gamma"].astype(x.dtype) + params["beta"].astype(x.dtype)
+    """torch.nn.LayerNorm semantics (decoder blocks, model.py:720,730);
+    fp32 statistics."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (xf * params["gamma"] + params["beta"]).astype(dtype)
 
 
 def group_norm(params, x: jnp.ndarray, num_groups: int, eps: float = 1e-5) -> jnp.ndarray:
-    """torch.nn.GroupNorm on (B, T, C): statistics over (T, C/G) per group.
+    """torch.nn.GroupNorm on (B, T, C): statistics over (T, C/G) per group,
+    computed in fp32.
 
     NOTE (parity): like the reference (model.py:764-775), padded time steps
     participate in the statistics — inputs are masked before the preceding
@@ -194,12 +211,13 @@ def group_norm(params, x: jnp.ndarray, num_groups: int, eps: float = 1e-5) -> jn
     """
     b, t, c = x.shape
     g = num_groups
-    xg = x.reshape(b, t, g, c // g)
+    dtype = x.dtype
+    xg = x.astype(jnp.float32).reshape(b, t, g, c // g)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
     var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    x = xg.reshape(b, t, c)
-    return x * params["gamma"].astype(x.dtype) + params["beta"].astype(x.dtype)
+    out = xg.reshape(b, t, c) * params["gamma"] + params["beta"]
+    return out.astype(dtype)
 
 
 def mish(x: jnp.ndarray) -> jnp.ndarray:

@@ -26,6 +26,10 @@ from matcha_tts_tpu.train.train_state import (
 )
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def featurize_batch(batch: Dict[str, np.ndarray], cfg: MatchaConfig):
     """Raw-audio batch -> model batch with on-device log-mel features.
 
