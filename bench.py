@@ -18,10 +18,19 @@ identical to the trained LJSpeech v1 model.
 from __future__ import annotations
 
 import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import jax
 import numpy as np
+
+# Persistent compilation cache: warmup compiles are reused across runs.
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_RTF = 0.0173
 

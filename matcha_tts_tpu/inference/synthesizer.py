@@ -25,17 +25,11 @@ import numpy as np
 
 from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
 from matcha_tts_tpu.models import hifigan as hifigan_mod
-from matcha_tts_tpu.models.matcha import synthesize
+from matcha_tts_tpu.models.matcha import encode_only, synthesize
 from matcha_tts_tpu.text.tokenizer import encode_text
 
 DEFAULT_TEXT_BUCKETS = (64, 128, 192, 256, 384, 512)
 DEFAULT_FRAME_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048)
-
-# ~frames per token upper bound used to pick the frame bucket before the
-# first device roundtrip; durations at LJSpeech average ~6 frames/token
-# on interspersed sequences.  If the prediction overflows the bucket we
-# re-run one bucket up (rare).
-FRAMES_PER_TOKEN_GUESS = 8
 
 
 @functools.partial(jax.jit, static_argnames=("matcha_cfg", "hifi_cfg",
@@ -125,40 +119,38 @@ class Synthesizer:
         return self.synthesize_tokens(ids, n_timesteps, temperature,
                                       length_scale, seed, spk)
 
+    def predict_frame_bucket(self, x, x_lengths, length_scale: float,
+                             spks=None) -> int:
+        """Run the (cheap, cached) encoder-only graph to get the exact
+        predicted frame count, then snap to the smallest bucket.  Duration
+        prediction is deterministic, so the fused graph sees no overflow."""
+        y_lengths = encode_only(self.matcha_params, x, x_lengths,
+                                self.matcha_cfg, length_scale=length_scale,
+                                spks=spks)
+        return self._bucket(int(np.max(np.asarray(y_lengths))),
+                            self.frame_buckets)
+
     def synthesize_tokens(self, ids: np.ndarray, n_timesteps=10,
                           temperature=0.667, length_scale=1.0, seed=0,
                           spk: Optional[int] = None) -> SynthesisResult:
         t_x = self._bucket(len(ids), self.text_buckets)
+        ids = ids[:t_x]  # truncate past the largest bucket
         x = np.zeros((1, t_x), np.int32)
         x[0, : len(ids)] = ids
         x_lengths = np.asarray([len(ids)], np.int32)
-        t_y = self._bucket(
-            int(len(ids) * FRAMES_PER_TOKEN_GUESS * length_scale),
-            self.frame_buckets,
-        )
         spks = np.asarray([spk], np.int32) if spk is not None else None
+
+        x, x_lengths = jnp.asarray(x), jnp.asarray(x_lengths)
+        t_y = self.predict_frame_bucket(x, x_lengths, length_scale, spks)
 
         key = jax.random.PRNGKey(seed)
         out, wav = _synthesize_to_wav(
-            self.matcha_params, self.vocoder_params, key,
-            jnp.asarray(x), jnp.asarray(x_lengths),
+            self.matcha_params, self.vocoder_params, key, x, x_lengths,
             self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
             temperature, length_scale, spks=spks,
             compute_dtype=self.compute_dtype,
         )
         y_len = int(out.y_lengths[0])
-        if y_len >= t_y and t_y != self.frame_buckets[-1]:
-            # predicted length overflowed the guess: redo one bucket up
-            bigger = [b for b in self.frame_buckets if b > t_y]
-            t_y = bigger[0] if bigger else t_y
-            out, wav = _synthesize_to_wav(
-                self.matcha_params, self.vocoder_params, key,
-                jnp.asarray(x), jnp.asarray(x_lengths),
-                self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
-                temperature, length_scale, spks=spks,
-                compute_dtype=self.compute_dtype,
-            )
-            y_len = int(out.y_lengths[0])
 
         hop = self.matcha_cfg.audio.hop_length
         n_samples = y_len * self.hifi_cfg.total_upsample
@@ -207,6 +199,59 @@ class Synthesizer:
             rtf_breakdown={},
         )
 
+    def synthesize_batch_sharded(self, texts: Sequence[str], mesh,
+                                 n_timesteps: int = 10,
+                                 temperature: float = 0.667,
+                                 length_scale: float = 1.0,
+                                 seed: int = 0) -> List[SynthesisResult]:
+        """Pod-scale batched synthesis: the batch axis is sharded over the
+        mesh's "data" axis, so each chip vocodes its shard and XLA keeps
+        everything local (no collectives needed for inference).
+
+        Texts are padded to a multiple of the mesh size per bucket group.
+        """
+        from matcha_tts_tpu.parallel import mesh as pmesh
+
+        n_dev = mesh.devices.size
+        encoded = [self.tokenize(t) for t in texts]
+        results: List[Optional[SynthesisResult]] = [None] * len(texts)
+
+        groups = {}
+        for i in range(len(texts)):
+            t_x = self._bucket(len(encoded[i]), self.text_buckets)
+            groups.setdefault(t_x, []).append(i)
+
+        sharding = pmesh.batch_sharding(mesh)
+        for t_x, idxs in groups.items():
+            b = -(-len(idxs) // n_dev) * n_dev  # round up to mesh size
+            x = np.zeros((b, t_x), np.int32)
+            x_lengths = np.ones((b,), np.int32)
+            for row, i in enumerate(idxs):
+                ids = encoded[i][:t_x]  # truncate past the largest bucket
+                x[row, : len(ids)] = ids
+                x_lengths[row] = len(ids)
+            xd = jax.device_put(x, sharding)
+            xld = jax.device_put(x_lengths, sharding)
+            t_y = self.predict_frame_bucket(xd, xld, length_scale)
+            out, wav = _synthesize_to_wav(
+                self.matcha_params, self.vocoder_params,
+                jax.random.PRNGKey(seed), xd, xld,
+                self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
+                temperature, length_scale,
+                compute_dtype=self.compute_dtype,
+            )
+            wav_np = np.asarray(wav)
+            for row, i in enumerate(idxs):
+                y_len = int(out.y_lengths[row])
+                n_samples = y_len * self.hifi_cfg.total_upsample
+                results[i] = SynthesisResult(
+                    wav=wav_np[row, :n_samples],
+                    mel=np.asarray(out.mel[row, :, :y_len]),
+                    attn=np.asarray(out.attn[row, :, :y_len]),
+                    rtf_breakdown={},
+                )
+        return results  # type: ignore
+
     def synthesize_batch(self, texts: Sequence[str], n_timesteps: int = 10,
                          temperature: float = 0.667, length_scale: float = 1.0,
                          seed: int = 0) -> List[SynthesisResult]:
@@ -226,17 +271,14 @@ class Synthesizer:
             x = np.zeros((b, t_x), np.int32)
             x_lengths = np.zeros((b,), np.int32)
             for row, i in enumerate(idxs):
-                ids = encoded[i]
+                ids = encoded[i][:t_x]
                 x[row, : len(ids)] = ids
                 x_lengths[row] = len(ids)
-            t_y = self._bucket(
-                int(x_lengths.max() * FRAMES_PER_TOKEN_GUESS * length_scale),
-                self.frame_buckets,
-            )
+            xd, xld = jnp.asarray(x), jnp.asarray(x_lengths)
+            t_y = self.predict_frame_bucket(xd, xld, length_scale)
             out, wav = _synthesize_to_wav(
                 self.matcha_params, self.vocoder_params,
-                jax.random.PRNGKey(seed),
-                jnp.asarray(x), jnp.asarray(x_lengths),
+                jax.random.PRNGKey(seed), xd, xld,
                 self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
                 temperature, length_scale,
                 compute_dtype=self.compute_dtype,

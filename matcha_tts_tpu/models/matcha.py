@@ -139,16 +139,20 @@ def synthesize(
     )
 
 
-def encode_only(params, x, x_lengths, cfg: MatchaConfig, spks=None):
+@functools.partial(jax.jit, static_argnames=("cfg", "length_scale"))
+def encode_only(params, x, x_lengths, cfg: MatchaConfig,
+                length_scale: float = 1.0, spks=None):
     """Encoder + duration prediction only — used by the inference driver to
-    pick the frame bucket before calling the fused synthesize graph."""
+    pick the exact frame bucket before calling the fused synthesize graph
+    (duration prediction is deterministic, so the predicted y_lengths here
+    equal the fused graph's)."""
     spk_emb = None
     if cfg.n_spks > 1 and spks is not None:
         spk_emb = nn.embedding(params["spk_emb"], spks)
     mu, logw, x_mask = text_encoder(params["encoder"], x, x_lengths,
                                     cfg.encoder, cfg.duration_predictor,
                                     spk_emb=spk_emb, rng=None)
-    w = jnp.exp(logw[..., 0]) * x_mask
-    w_ceil = jnp.ceil(w)
+    w = jnp.exp(logw[..., 0].astype(jnp.float32)) * x_mask.astype(jnp.float32)
+    w_ceil = jnp.ceil(w * length_scale)
     y_lengths = jnp.maximum(jnp.sum(w_ceil, axis=1), 1.0).astype(jnp.int32)
     return y_lengths
