@@ -66,6 +66,9 @@ class DecoderConfig:
     num_mid_blocks: int = 2
     num_heads: int = 2
     act_fn: str = "snakebeta"
+    # Use the fused Pallas conv+GroupNorm+Mish kernel for Block1D where
+    # shapes allow (ops/pallas/block1d.py); XLA path otherwise.
+    use_pallas: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -64,12 +64,91 @@ def _synthesize_to_wav(
     return out, wav
 
 
+@functools.partial(jax.jit, static_argnames=("matcha_cfg", "hifi_cfg",
+                                             "n_timesteps", "t_y_max",
+                                             "temperature", "length_scale",
+                                             "compute_dtype"))
+def _synthesize_packed(
+    matcha_params,
+    vocoder_params,
+    key,
+    x,
+    x_lengths,
+    matcha_cfg: MatchaConfig,
+    hifi_cfg: HiFiGANConfig,
+    n_timesteps: int,
+    t_y_max: int,
+    temperature: float,
+    length_scale: float,
+    spks=None,
+    compute_dtype: str = "float32",
+):
+    """Fused graph whose primary output is ONE flat int16 buffer:
+    [pcm16 (B*T_wav) | y_lengths (B)].
+
+    Rationale: on remote-tunnel device transports every host fetch costs
+    tens of ms of latency regardless of size, so the audio (already
+    destined for 16-bit PCM) and the valid lengths ship in a single
+    transfer; mel/attention stay on device for lazy diagnostic access.
+    """
+    out, wav = _synthesize_to_wav.__wrapped__(
+        matcha_params, vocoder_params, key, x, x_lengths, matcha_cfg,
+        hifi_cfg, n_timesteps, t_y_max, temperature, length_scale, spks,
+        compute_dtype,
+    )
+    pcm = jnp.round(wav * 32767.0).astype(jnp.int16)
+    packed = jnp.concatenate(
+        [pcm.reshape(-1), out.y_lengths.astype(jnp.int16)]
+    )
+    return packed, out
+
+
 @dataclass
 class SynthesisResult:
     wav: np.ndarray          # (n_samples,) float32
     mel: np.ndarray          # (n_mels, T_valid)
     attn: np.ndarray         # (T_x, T_y_valid)
     rtf_breakdown: dict
+
+
+class LazySynthesisResult:
+    """Deferred-transfer result: `.wav` costs exactly one device->host
+    transfer (packed int16); `.mel`/`.attn` are fetched only on access."""
+
+    def __init__(self, packed_dev, out_dev, row: int, batch: int,
+                 t_wav: int, hop: int):
+        self._packed = packed_dev
+        self._out = out_dev
+        self._row = row
+        self._b = batch
+        self._t_wav = t_wav
+        self._hop = hop
+        self._host = None
+        self.rtf_breakdown: dict = {}
+
+    def _fetch(self):
+        if self._host is None:
+            self._host = np.asarray(self._packed)
+        return self._host
+
+    @property
+    def y_length(self) -> int:
+        return int(self._fetch()[self._b * self._t_wav + self._row])
+
+    @property
+    def wav(self) -> np.ndarray:
+        p = self._fetch()
+        n = self.y_length * self._hop
+        start = self._row * self._t_wav
+        return p[start : start + n].astype(np.float32) / 32767.0
+
+    @property
+    def mel(self) -> np.ndarray:
+        return np.asarray(self._out.mel)[self._row, :, : self.y_length]
+
+    @property
+    def attn(self) -> np.ndarray:
+        return np.asarray(self._out.attn)[self._row, :, : self.y_length]
 
 
 class Synthesizer:
@@ -130,9 +209,21 @@ class Synthesizer:
         return self._bucket(int(np.max(np.asarray(y_lengths))),
                             self.frame_buckets)
 
+    # frames-per-interspersed-token upper bound for the heuristic frame
+    # bucket; LJSpeech averages ~2.7 with trained weights.  Undershoot is
+    # detected from the packed y_length and retried one bucket up.
+    FRAMES_PER_TOKEN = 4.0
+
     def synthesize_tokens(self, ids: np.ndarray, n_timesteps=10,
                           temperature=0.667, length_scale=1.0, seed=0,
-                          spk: Optional[int] = None) -> SynthesisResult:
+                          spk: Optional[int] = None,
+                          exact_bucket: bool = False) -> LazySynthesisResult:
+        """Single-utterance synthesis optimized for latency: one fused jit
+        call, one packed device->host transfer.
+
+        `exact_bucket=True` runs the cheap encoder graph first to pick the
+        minimal frame bucket (an extra host round trip — better when
+        transfers are cheap, e.g. local PCIe)."""
         t_x = self._bucket(len(ids), self.text_buckets)
         ids = ids[:t_x]  # truncate past the largest bucket
         x = np.zeros((1, t_x), np.int32)
@@ -141,26 +232,34 @@ class Synthesizer:
         spks = np.asarray([spk], np.int32) if spk is not None else None
 
         x, x_lengths = jnp.asarray(x), jnp.asarray(x_lengths)
-        t_y = self.predict_frame_bucket(x, x_lengths, length_scale, spks)
-
-        key = jax.random.PRNGKey(seed)
-        out, wav = _synthesize_to_wav(
-            self.matcha_params, self.vocoder_params, key, x, x_lengths,
-            self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
-            temperature, length_scale, spks=spks,
-            compute_dtype=self.compute_dtype,
-        )
-        y_len = int(out.y_lengths[0])
+        if exact_bucket:
+            t_y = self.predict_frame_bucket(x, x_lengths, length_scale, spks)
+        else:
+            t_y = self._bucket(
+                int(len(ids) * self.FRAMES_PER_TOKEN * length_scale),
+                self.frame_buckets,
+            )
 
         hop = self.matcha_cfg.audio.hop_length
-        n_samples = y_len * self.hifi_cfg.total_upsample
         assert self.hifi_cfg.total_upsample == hop
-        return SynthesisResult(
-            wav=np.asarray(wav[0, :n_samples]),
-            mel=np.asarray(out.mel[0, :, :y_len]),
-            attn=np.asarray(out.attn[0, :, :y_len]),
-            rtf_breakdown={},
-        )
+        key = jax.random.PRNGKey(seed)
+        while True:
+            packed, out = _synthesize_packed(
+                self.matcha_params, self.vocoder_params, key, x, x_lengths,
+                self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
+                temperature, length_scale, spks=spks,
+                compute_dtype=self.compute_dtype,
+            )
+            result = LazySynthesisResult(packed, out, row=0, batch=1,
+                                         t_wav=t_y * hop, hop=hop)
+            # heuristic bucket undershoot -> predicted length was clipped;
+            # retry one bucket up (rare; duration model is deterministic)
+            if (result.y_length >= t_y
+                    and t_y != self.frame_buckets[-1]):
+                bigger = [b for b in self.frame_buckets if b > t_y]
+                t_y = bigger[0]
+                continue
+            return result
 
     # -- long-form / batched -------------------------------------------------
 
@@ -241,13 +340,16 @@ class Synthesizer:
                 compute_dtype=self.compute_dtype,
             )
             wav_np = np.asarray(wav)
+            mel_np = np.asarray(out.mel)
+            attn_np = np.asarray(out.attn)
+            y_lens = np.asarray(out.y_lengths)
             for row, i in enumerate(idxs):
-                y_len = int(out.y_lengths[row])
+                y_len = int(y_lens[row])
                 n_samples = y_len * self.hifi_cfg.total_upsample
                 results[i] = SynthesisResult(
                     wav=wav_np[row, :n_samples],
-                    mel=np.asarray(out.mel[row, :, :y_len]),
-                    attn=np.asarray(out.attn[row, :, :y_len]),
+                    mel=mel_np[row, :, :y_len],
+                    attn=attn_np[row, :, :y_len],
                     rtf_breakdown={},
                 )
         return results  # type: ignore
@@ -284,13 +386,16 @@ class Synthesizer:
                 compute_dtype=self.compute_dtype,
             )
             wav_np = np.asarray(wav)
+            mel_np = np.asarray(out.mel)
+            attn_np = np.asarray(out.attn)
+            y_lens = np.asarray(out.y_lengths)
             for row, i in enumerate(idxs):
-                y_len = int(out.y_lengths[row])
+                y_len = int(y_lens[row])
                 n_samples = y_len * self.hifi_cfg.total_upsample
                 results[i] = SynthesisResult(
                     wav=wav_np[row, :n_samples],
-                    mel=np.asarray(out.mel[row, :, :y_len]),
-                    attn=np.asarray(out.attn[row, :, :y_len]),
+                    mel=mel_np[row, :, :y_len],
+                    attn=attn_np[row, :, :y_len],
                     rtf_breakdown={},
                 )
         return results  # type: ignore

@@ -166,9 +166,25 @@ def init_block1d(key, dim: int, dim_out: int):
     }
 
 
-def block1d(params, x, mask, *, groups: int = 8):
-    """Conv(k=3) -> GroupNorm(8) -> Mish, masked in/out (model.py:764-775)."""
+def block1d(params, x, mask, *, groups: int = 8, use_pallas: bool = False):
+    """Conv(k=3) -> GroupNorm(8) -> Mish, masked in/out (model.py:764-775).
+
+    With `use_pallas`, shapes permitting, the whole block runs as one
+    fused VMEM-resident Pallas kernel (ops/pallas/block1d.py)."""
     m = mask[..., None]
+    if use_pallas:
+        from matcha_tts_tpu.ops.pallas.block1d import (
+            block1d_fused,
+            block1d_pallas_ok,
+        )
+
+        t, c_in = x.shape[1], x.shape[2]
+        c_out = params["conv"]["weight"].shape[-1]
+        if block1d_pallas_ok(t, c_in, c_out):
+            h = block1d_fused(x * m, params["conv"]["weight"],
+                              params["conv"]["bias"], params["norm"]["gamma"],
+                              params["norm"]["beta"], groups=groups)
+            return h * m
     h = nn.conv1d(params["conv"], x * m, padding=1)
     h = nn.group_norm(params["norm"], h, groups)
     return nn.mish(h) * m
@@ -184,12 +200,12 @@ def init_resnet_block1d(key, dim: int, dim_out: int, time_emb_dim: int):
     }
 
 
-def resnet_block1d(params, x, mask, t_emb):
+def resnet_block1d(params, x, mask, t_emb, use_pallas: bool = False):
     """block1 -> (+ time-MLP broadcast) -> block2 -> + 1x1 residual
     (model.py:777-790).  t_emb: (B, time_emb_dim)."""
-    h = block1d(params["block1"], x, mask)
+    h = block1d(params["block1"], x, mask, use_pallas=use_pallas)
     h = h + nn.linear(params["mlp"], nn.mish(t_emb))[:, None, :]
-    h = block1d(params["block2"], h, mask)
+    h = block1d(params["block2"], h, mask, use_pallas=use_pallas)
     return h + nn.conv1d(params["res_conv"], x * mask[..., None])
 
 
@@ -288,13 +304,14 @@ def decoder(params, x, mask, mu, t, cfg: DecoderConfig,
 
     heads, dim_head = cfg.num_heads, cfg.attention_head_dim
     dropout_p = cfg.dropout if rng is not None else 0.0
+    use_pallas = cfg.use_pallas
 
     n_levels = len(params["down_blocks"])
     hiddens = []
     masks = [mask]
     for i, level in enumerate(params["down_blocks"]):
         m = masks[-1]
-        h = resnet_block1d(level["resnet"], h, m, t_emb)
+        h = resnet_block1d(level["resnet"], h, m, t_emb, use_pallas)
         for tb in level["transformer_blocks"]:
             h = transformer_block(tb, h, m, heads=heads, dim_head=dim_head,
                                   dropout_p=dropout_p, rng=rng)
@@ -312,7 +329,7 @@ def decoder(params, x, mask, mu, t, cfg: DecoderConfig,
     masks = masks[:-1]
     m_mid = masks[-1]
     for block in params["mid_blocks"]:
-        h = resnet_block1d(block["resnet"], h, m_mid, t_emb)
+        h = resnet_block1d(block["resnet"], h, m_mid, t_emb, use_pallas)
         for tb in block["transformer_blocks"]:
             h = transformer_block(tb, h, m_mid, heads=heads, dim_head=dim_head,
                                   dropout_p=dropout_p, rng=rng)
@@ -325,7 +342,7 @@ def decoder(params, x, mask, mu, t, cfg: DecoderConfig,
             "frame bucket must be a multiple of 2**num_downsamples"
         )
         h = jnp.concatenate([h, skip], axis=-1)
-        h = resnet_block1d(level["resnet"], h, m, t_emb)
+        h = resnet_block1d(level["resnet"], h, m, t_emb, use_pallas)
         for tb in level["transformer_blocks"]:
             h = transformer_block(tb, h, m, heads=heads, dim_head=dim_head,
                                   dropout_p=dropout_p, rng=rng)
@@ -335,6 +352,6 @@ def decoder(params, x, mask, mu, t, cfg: DecoderConfig,
             h = nn.conv1d(level["upsample"], h * m[..., None], padding=1)
 
     m = mask
-    h = block1d(params["final_block"], h, m)
+    h = block1d(params["final_block"], h, m, use_pallas=use_pallas)
     out = nn.conv1d(params["final_proj"], h * m[..., None])
     return out * m[..., None]

@@ -1,0 +1,102 @@
+"""Pallas TPU kernel: fused Conv1d(k=3) + GroupNorm(8) + Mish ("Block1D").
+
+The U-Net's Block1D (reference: /root/reference/model.py:764-775) runs
+2 x (levels + mids + ups) + 1 ~= 13 times per estimator pass, i.e. 130
+times per NFE=10 synthesis.  XLA fuses the norm+mish elementwise chain but
+keeps conv -> norm as two HBM round trips because GroupNorm needs global
+(T, C/G) statistics.  This kernel keeps the conv output tile-resident in
+VMEM, computes group statistics in-register, and applies normalization +
+Mish in the same pass — one HBM read of x, one HBM write of the result.
+
+Layout: x (B, T, C) fp32/bf16, weight (3, C_in, C_out), gamma/beta (1, C).
+Grid: one program per batch item; T and C are multiples of the (8, 128)
+fp32 tile (frame buckets and the U-Net's 256/128-channel widths satisfy
+this; other shapes fall back to the XLA path).
+
+Masking semantics match the reference: the conv consumes `x * mask` (the
+caller pre-masks), GroupNorm statistics INCLUDE padded frames
+(models/nn.py group_norm docstring), and the caller re-masks the output.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _block1d_kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, o_ref,
+                    *, groups: int, eps: float):
+    """One batch item: x (1, T, C_in) -> o (1, T, C_out)."""
+    x = x_ref[0]
+    t, c_in = x.shape
+    c_out = o_ref.shape[-1]
+
+    # k=3 'same' conv as three shifted matmuls on the MXU:
+    # y[t] = x[t-1] @ w[0] + x[t] @ w[1] + x[t+1] @ w[2] + b
+    y = jnp.dot(x, w_ref[1], preferred_element_type=jnp.float32)
+    x_prev = jnp.concatenate([jnp.zeros((1, c_in), x.dtype), x[:-1]], axis=0)
+    y += jnp.dot(x_prev, w_ref[0], preferred_element_type=jnp.float32)
+    x_next = jnp.concatenate([x[1:], jnp.zeros((1, c_in), x.dtype)], axis=0)
+    y += jnp.dot(x_next, w_ref[2], preferred_element_type=jnp.float32)
+    y += b_ref[0].astype(jnp.float32)
+
+    # GroupNorm statistics over (T, C/G) per group; groups are contiguous
+    # channel blocks, so reshape the lane dim
+    g = groups
+    cg = c_out // g
+    yg = y.reshape(t, g, cg)
+    mean = jnp.mean(yg, axis=(0, 2), keepdims=True)
+    var = jnp.mean(jnp.square(yg - mean), axis=(0, 2), keepdims=True)
+    yn = ((yg - mean) * jax.lax.rsqrt(var + eps)).reshape(t, c_out)
+    yn = yn * gamma_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32)
+
+    # Mish(x) = x * tanh(softplus(x))
+    o_ref[0] = (yn * jnp.tanh(jax.nn.softplus(yn))).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "interpret"))
+def block1d_fused(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+                  gamma: jnp.ndarray, beta: jnp.ndarray,
+                  groups: int = 8, eps: float = 1e-5,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Fused Block1D: x (B, T, C_in) -> (B, T, C_out).
+
+    Caller contract: x is already masked (x * mask); caller re-masks the
+    output.  (T, C) must fit VMEM — true for every frame bucket <= 4096 at
+    the U-Net widths."""
+    b, t, c_in = x.shape
+    c_out = weight.shape[-1]
+
+    kernel = functools.partial(_block1d_kernel, groups=groups, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, c_in), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, c_in, c_out), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, c_out), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, c_out), x.dtype),
+        interpret=interpret,
+    )(x, weight, bias.reshape(1, -1), gamma.reshape(1, -1),
+      beta.reshape(1, -1))
+
+
+def block1d_pallas_ok(t: int, c_in: int, c_out: int) -> bool:
+    """Shape gate: dims must map onto fp32 (8, 128) tiles and fit VMEM."""
+    fits_vmem = t * max(c_in, c_out) * 4 * 3 < 12 * 1024 * 1024
+    return (t % 8 == 0 and c_in % 128 == 0 and c_out % 128 == 0
+            and fits_vmem)
