@@ -174,22 +174,18 @@ def _tuplify(v: Any) -> Any:
 
 
 def config_from_dict(cls, d: dict):
+    """Inverse of `config_to_dict`.  Nested configs are detected through
+    their default factories (annotations are strings under
+    `from __future__ import annotations`, so `f.type` is not a class)."""
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
             continue
         v = d[f.name]
-        if dataclasses.is_dataclass(f.type) or f.type in (
-            AudioConfig,
-            EncoderConfig,
-            DurationPredictorConfig,
-            DecoderConfig,
-            CFMConfig,
-            HiFiGANConfig,
-        ):
-            sub = f.default_factory() if f.default_factory is not dataclasses.MISSING else None
-            if isinstance(v, dict) and sub is not None:
-                kwargs[f.name] = config_from_dict(type(sub), v)
+        if isinstance(v, dict) and f.default_factory is not dataclasses.MISSING:
+            sub_default = f.default_factory()
+            if dataclasses.is_dataclass(sub_default):
+                kwargs[f.name] = config_from_dict(type(sub_default), v)
                 continue
         kwargs[f.name] = _tuplify(v)
     return cls(**kwargs)

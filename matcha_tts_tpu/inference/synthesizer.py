@@ -211,8 +211,23 @@ class Synthesizer:
 
     # frames-per-interspersed-token upper bound for the heuristic frame
     # bucket; LJSpeech averages ~2.7 with trained weights.  Undershoot is
-    # detected from the packed y_length and retried one bucket up.
+    # detected from the packed y_length and retried one bucket up.  The
+    # estimate adapts at runtime (observed max ratio x safety margin) so
+    # buckets — and device->host transfer sizes — converge to the model's
+    # actual duration statistics.
     FRAMES_PER_TOKEN = 4.0
+    FPT_MARGIN = 1.25
+
+    def _frames_per_token(self) -> float:
+        obs = getattr(self, "_fpt_obs_max", None)
+        if obs is None:
+            return self.FRAMES_PER_TOKEN
+        return min(8.0, max(1.0, obs * self.FPT_MARGIN))
+
+    def _observe_ratio(self, y_len: int, n_tokens: int, length_scale: float):
+        obs = y_len / max(n_tokens * length_scale, 1.0)
+        prev = getattr(self, "_fpt_obs_max", 0.0)
+        self._fpt_obs_max = max(prev, obs)
 
     def synthesize_tokens(self, ids: np.ndarray, n_timesteps=10,
                           temperature=0.667, length_scale=1.0, seed=0,
@@ -236,7 +251,7 @@ class Synthesizer:
             t_y = self.predict_frame_bucket(x, x_lengths, length_scale, spks)
         else:
             t_y = self._bucket(
-                int(len(ids) * self.FRAMES_PER_TOKEN * length_scale),
+                int(len(ids) * self._frames_per_token() * length_scale),
                 self.frame_buckets,
             )
 
@@ -259,6 +274,7 @@ class Synthesizer:
                 bigger = [b for b in self.frame_buckets if b > t_y]
                 t_y = bigger[0]
                 continue
+            self._observe_ratio(result.y_length, len(ids), length_scale)
             return result
 
     # -- long-form / batched -------------------------------------------------

@@ -1,0 +1,10 @@
+"""Parameter interop: torch<->JAX conversion, Orbax IO."""
+
+from matcha_tts_tpu.params.convert import (  # noqa: F401
+    convert_hifigan,
+    convert_matcha,
+    export_matcha,
+    fold_weight_norm,
+    load_torch_state_dict,
+)
+from matcha_tts_tpu.params.io import load_matcha_any, load_orbax_matcha  # noqa: F401

@@ -7,6 +7,7 @@ from matcha_tts_tpu.text.tokenizer import (  # noqa: F401
     intersperse_between,
     pad_to_bucket,
     phonemes_to_sequence,
+    process_text,
     text_to_sequence,
 )
 from matcha_tts_tpu.text.phonemize import phonemize, phonemizer_available  # noqa: F401

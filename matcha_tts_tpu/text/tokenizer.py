@@ -72,6 +72,23 @@ def encode_text(
     return np.asarray(ids, dtype=np.int32)
 
 
+def process_text(text: str, add_blank: bool = True) -> dict:
+    """Full frontend returning the reference's dict shape
+    (reference: utils.py:24-60): original text, phoneme string, batched
+    id array `x` (1, T), and `x_lengths` (1,) — NumPy instead of torch."""
+    phonemes = phonemize(text)
+    sequence = phonemes_to_sequence(phonemes)
+    ids = intersperse(sequence, 0) if add_blank else sequence
+    x = np.asarray(ids, dtype=np.int32)[None, :]
+    return {
+        "x_orig": text,
+        "x_phones": phonemes,
+        "x": x,
+        "x_lengths": np.asarray([x.shape[-1]], dtype=np.int32),
+        "sequence": sequence,
+    }
+
+
 def pad_to_bucket(ids: np.ndarray, buckets: Sequence[int]) -> Tuple[np.ndarray, int]:
     """Right-pad token ids to the smallest bucket >= len(ids).
 

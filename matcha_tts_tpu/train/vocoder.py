@@ -1,0 +1,131 @@
+"""HiFi-GAN vocoder training / fine-tuning.
+
+The reference vendors the full HiFi-GAN model zoo — generator, MPD/MSD
+discriminators, feature-matching and LS-GAN losses, and a mel dataset with
+random segment cropping — but ships no vocoder trainer (the generator is
+loaded pretrained; hifigan/models.py:209-368, hifigan/meldataset.py:105-165).
+This module makes those pieces trainable TPU-natively: jitted generator /
+discriminator steps with AdamW(0.8, 0.99) + exponential LR decay per the
+vendored config (hifigan/config.py:4-8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from matcha_tts_tpu.config import AudioConfig, HiFiGANConfig
+from matcha_tts_tpu.models import hifigan
+from matcha_tts_tpu.ops.stft import log_mel_spectrogram
+
+
+class GanTrainState(NamedTuple):
+    step: jnp.ndarray
+    gen_params: dict
+    disc_params: dict  # {"mpd": ..., "msd": ...}
+    gen_opt: optax.OptState
+    disc_opt: optax.OptState
+
+
+def make_gan_optimizers(learning_rate: float = 2e-4, b1: float = 0.8,
+                        b2: float = 0.99, lr_decay: float = 0.999,
+                        decay_every: int = 1000):
+    """Adam(b1=0.8, b2=0.99) with exponential decay, per hifigan/config.py."""
+    sched = optax.exponential_decay(learning_rate, decay_every, lr_decay)
+    return optax.adam(sched, b1=b1, b2=b2), optax.adam(sched, b1=b1, b2=b2)
+
+
+def create_gan_state(key, hcfg: HiFiGANConfig,
+                     learning_rate: float = 2e-4) -> GanTrainState:
+    kg, kp, ks = jax.random.split(key, 3)
+    gen = hifigan.init_generator(kg, hcfg)
+    disc = {"mpd": hifigan.init_mpd(kp), "msd": hifigan.init_msd(ks)}
+    g_tx, d_tx = make_gan_optimizers(learning_rate)
+    return GanTrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen,
+        disc_params=disc,
+        gen_opt=g_tx.init(gen),
+        disc_opt=d_tx.init(disc),
+    )
+
+
+def random_segment(key, audio: np.ndarray, segment_size: int,
+                   hop: int) -> Tuple[np.ndarray, int]:
+    """Random crop to `segment_size` samples aligned to the hop (the
+    reference's MelDataset cropping, hifigan/meldataset.py:140-152)."""
+    if len(audio) <= segment_size:
+        out = np.zeros(segment_size, np.float32)
+        out[: len(audio)] = audio
+        return out, 0
+    max_start = (len(audio) - segment_size) // hop
+    start = int(jax.random.randint(key, (), 0, max_start + 1)) * hop
+    return audio[start : start + segment_size], start
+
+
+def _mel(audio, acfg: AudioConfig):
+    return log_mel_spectrogram(
+        audio, acfg.sample_rate, acfg.n_fft, acfg.n_mels, acfg.hop_length,
+        acfg.win_length, acfg.f_min, acfg.f_max,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("hcfg", "acfg", "lr"))
+def gan_disc_step(state: GanTrainState, audio: jnp.ndarray,
+                  hcfg: HiFiGANConfig, acfg: AudioConfig, lr: float = 2e-4):
+    """Discriminator update (LS-GAN): real audio vs generator(mel(real))."""
+    mel = _mel(audio, acfg).transpose(0, 2, 1)
+    fake = hifigan.generator(state.gen_params, mel, hcfg)
+    fake = jax.lax.stop_gradient(fake)
+    n = min(audio.shape[-1], fake.shape[-1])
+
+    def loss_fn(disc_params):
+        mpd_out = hifigan.mpd(disc_params["mpd"], audio[..., :n], fake[..., :n])
+        msd_out = hifigan.msd(disc_params["msd"], audio[..., :n], fake[..., :n])
+        l_mpd, _, _ = hifigan.discriminator_loss(mpd_out[0], mpd_out[1])
+        l_msd, _, _ = hifigan.discriminator_loss(msd_out[0], msd_out[1])
+        return l_mpd + l_msd
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.disc_params)
+    _, d_tx = make_gan_optimizers(lr)
+    updates, new_opt = d_tx.update(grads, state.disc_opt, state.disc_params)
+    new_disc = optax.apply_updates(state.disc_params, updates)
+    return state._replace(disc_params=new_disc, disc_opt=new_opt), loss
+
+
+@functools.partial(jax.jit, static_argnames=("hcfg", "acfg", "lr"))
+def gan_gen_step(state: GanTrainState, audio: jnp.ndarray,
+                 hcfg: HiFiGANConfig, acfg: AudioConfig, lr: float = 2e-4):
+    """Generator update: LS-GAN + feature matching + 45x mel L1 (the
+    standard HiFi-GAN recipe the vendored losses implement)."""
+    mel_real = _mel(audio, acfg)
+
+    def loss_fn(gen_params):
+        fake = hifigan.generator(gen_params, mel_real.transpose(0, 2, 1), hcfg)
+        n = min(audio.shape[-1], fake.shape[-1])
+        mel_fake = _mel(fake[..., :n], acfg)
+        mel_loss = jnp.mean(jnp.abs(mel_fake - mel_real[..., : mel_fake.shape[-1]]))
+
+        mpd_out = hifigan.mpd(state.disc_params["mpd"], audio[..., :n], fake[..., :n])
+        msd_out = hifigan.msd(state.disc_params["msd"], audio[..., :n], fake[..., :n])
+        fm = (hifigan.feature_loss(mpd_out[2], mpd_out[3])
+              + hifigan.feature_loss(msd_out[2], msd_out[3]))
+        adv_mpd, _ = hifigan.generator_loss(mpd_out[1])
+        adv_msd, _ = hifigan.generator_loss(msd_out[1])
+        total = adv_mpd + adv_msd + fm + 45.0 * mel_loss
+        return total, (mel_loss, fm)
+
+    (loss, (mel_loss, fm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.gen_params
+    )
+    g_tx, _ = make_gan_optimizers(lr)
+    updates, new_opt = g_tx.update(grads, state.gen_opt, state.gen_params)
+    new_gen = optax.apply_updates(state.gen_params, updates)
+    new_state = state._replace(gen_params=new_gen, gen_opt=new_opt,
+                               step=state.step + 1)
+    return new_state, {"gen_loss": loss, "mel_l1": mel_loss, "fm_loss": fm}

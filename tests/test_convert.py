@@ -182,3 +182,37 @@ def test_synthesize_same_after_roundtrip():
     o2 = synthesize(back, jax.random.PRNGKey(5), x, xl, cfg,
                     n_timesteps=2, t_y_max=32)
     np.testing.assert_allclose(np.asarray(o1.mel), np.asarray(o2.mel), atol=1e-5)
+
+
+def test_config_json_roundtrip():
+    from matcha_tts_tpu.config import (MatchaConfig, config_from_dict,
+                                       config_to_dict)
+
+    cfg = tiny_cfg()
+    d = config_to_dict(cfg)
+    back = config_from_dict(MatchaConfig, d)
+    assert back == cfg
+    # default preset round-trips too (incl. tuples and nested configs)
+    full = MatchaConfig()
+    assert config_from_dict(MatchaConfig, config_to_dict(full)) == full
+
+
+def test_orbax_io_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from matcha_tts_tpu.params.io import load_orbax_matcha
+    from matcha_tts_tpu.train.loop import Checkpointer
+    from matcha_tts_tpu.train.train_state import TrainState, create_train_state
+    from matcha_tts_tpu.config import TrainConfig
+
+    cfg = tiny_cfg()
+    params = init_matcha(jax.random.PRNGKey(9), cfg)
+    state = create_train_state(params, TrainConfig(batch_size=2))
+    ck = Checkpointer(tmp_path / "ckpt", keep=2)
+    ck.save(5, jax.device_get(state), cfg)
+    params2, cfg2 = load_orbax_matcha(tmp_path)
+    assert cfg2 == cfg
+    a = jax.tree.leaves(jax.device_get(params))
+    b = jax.tree.leaves(params2)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
