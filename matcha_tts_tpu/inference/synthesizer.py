@@ -293,17 +293,28 @@ class Synthesizer:
         return parts
 
     def synthesize_long(self, text: str, silence_ms: float = 100.0,
-                        **kw) -> SynthesisResult:
-        """Chunked long-form synthesis with short silences between chunks."""
+                        mesh=None, **kw) -> SynthesisResult:
+        """Chunked long-form synthesis with short silences between chunks.
+
+        With a `mesh`, chunks are synthesized as one batch sharded over the
+        data axis (BASELINE config 5: long-form streaming across a pod);
+        otherwise sequentially on the local chip."""
         chunks = self.split_text(text)
         sr = self.matcha_cfg.audio.sample_rate
         gap = np.zeros(int(sr * silence_ms / 1000.0), np.float32)
         wavs, mels, attns = [], [], []
-        for i, chunk in enumerate(chunks):
-            r = self.synthesize(chunk, seed=kw.pop("seed", 0) + i, **kw)
-            wavs.append(r.wav)
-            mels.append(r.mel)
-            attns.append(r.attn)
+        if mesh is not None and len(chunks) > 1:
+            results = self.synthesize_batch_sharded(chunks, mesh, **kw)
+            for r in results:
+                wavs.append(r.wav)
+                mels.append(r.mel)
+                attns.append(r.attn)
+        else:
+            for i, chunk in enumerate(chunks):
+                r = self.synthesize(chunk, seed=kw.pop("seed", 0) + i, **kw)
+                wavs.append(r.wav)
+                mels.append(r.mel)
+                attns.append(r.attn)
         wav = np.concatenate(
             [w for pair in zip(wavs, [gap] * len(wavs)) for w in pair][:-1]
         ) if wavs else np.zeros(0, np.float32)

@@ -139,6 +139,39 @@ def synthesize(
     )
 
 
+def forward_simplified(params, key, x, x_lengths, y, y_lengths,
+                       cfg: MatchaConfig, spks=None):
+    """API-parity port of `MatchaTTS.forward` (reference: model.py:1234-1262).
+
+    NOTE: the reference's own `forward` is a *simplified* training pass that
+    feeds `compute_loss` the TEXT mask and UNALIGNED mu — it is effectively
+    unused/incorrect (SURVEY.md §2.1).  The canonical training forward with
+    MAS lives in `matcha_tts_tpu.train.losses.matcha_losses`
+    (train_standalone.py:623-667 semantics).  This function exists only so
+    reference users find the same surface.  Like the reference, it requires
+    y.shape[1] == x.shape[1] ("we assume lengths are compatible",
+    model.py:1254-1258).
+
+    Returns (cfm_loss, logw, y_lengths_pred) like the reference.
+    """
+    from matcha_tts_tpu.models import cfm as cfm_mod
+
+    spk_emb = None
+    if cfg.n_spks > 1 and spks is not None:
+        spk_emb = nn.embedding(params["spk_emb"], spks)
+    mu, logw, x_mask = text_encoder(params["encoder"], x, x_lengths,
+                                    cfg.encoder, cfg.duration_predictor,
+                                    spk_emb=spk_emb, rng=None)
+    w = jnp.exp(logw[..., 0]) * x_mask
+    w_ceil = jnp.ceil(w)
+    y_lengths_pred = jnp.maximum(jnp.sum(w_ceil, axis=1), 1.0).astype(jnp.int32)
+
+    est = estimator_fn(params, cfg, spk_emb=spk_emb, rng=None)
+    cfm_loss, _, _, _ = cfm_mod.compute_loss(est, key, y, x_mask, mu,
+                                             sigma_min=cfg.cfm.sigma_min)
+    return cfm_loss, logw, y_lengths_pred
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "length_scale"))
 def encode_only(params, x, x_lengths, cfg: MatchaConfig,
                 length_scale: float = 1.0, spks=None):

@@ -35,23 +35,40 @@ def _block1d_kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, o_ref,
     t, c_in = x.shape
     c_out = o_ref.shape[-1]
 
-    # k=3 'same' conv as three shifted matmuls on the MXU:
-    # y[t] = x[t-1] @ w[0] + x[t] @ w[1] + x[t+1] @ w[2] + b
-    y = jnp.dot(x, w_ref[1], preferred_element_type=jnp.float32)
+    # k=3 'same' conv as three shifted matmuls on the MXU.  fp32 inputs
+    # use the HIGHEST-precision decomposition so the fused path matches
+    # XLA's conv numerics to ~1e-6 (bf16 inputs take the fast path).
+    prec = jax.lax.Precision.HIGHEST
+    y = jnp.dot(x, w_ref[1], precision=prec,
+                preferred_element_type=jnp.float32)
     x_prev = jnp.concatenate([jnp.zeros((1, c_in), x.dtype), x[:-1]], axis=0)
-    y += jnp.dot(x_prev, w_ref[0], preferred_element_type=jnp.float32)
+    y += jnp.dot(x_prev, w_ref[0], precision=prec,
+                 preferred_element_type=jnp.float32)
     x_next = jnp.concatenate([x[1:], jnp.zeros((1, c_in), x.dtype)], axis=0)
-    y += jnp.dot(x_next, w_ref[2], preferred_element_type=jnp.float32)
+    y += jnp.dot(x_next, w_ref[2], precision=prec,
+                 preferred_element_type=jnp.float32)
     y += b_ref[0].astype(jnp.float32)
 
-    # GroupNorm statistics over (T, C/G) per group; groups are contiguous
-    # channel blocks, so reshape the lane dim
+    # GroupNorm statistics over (T, C/G) per group.  Mosaic cannot split
+    # the 128-lane channel dim, so group reduction/broadcast run as
+    # matmuls with a (C, G) group-membership one-hot: contiguous channel
+    # blocks of size C/G map to each group.
     g = groups
     cg = c_out // g
-    yg = y.reshape(t, g, cg)
-    mean = jnp.mean(yg, axis=(0, 2), keepdims=True)
-    var = jnp.mean(jnp.square(yg - mean), axis=(0, 2), keepdims=True)
-    yn = ((yg - mean) * jax.lax.rsqrt(var + eps)).reshape(t, c_out)
+    chan = jax.lax.broadcasted_iota(jnp.int32, (c_out, g), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (c_out, g), 1)
+    member = (chan // cg == grp).astype(jnp.float32)  # (C, G)
+    inv_n = 1.0 / (t * cg)
+
+    mean_g = jnp.dot(jnp.sum(y, axis=0, keepdims=True), member,
+                     preferred_element_type=jnp.float32) * inv_n  # (1, G)
+    mean_c = jnp.dot(mean_g, member.T,
+                     preferred_element_type=jnp.float32)          # (1, C)
+    d = y - mean_c
+    var_g = jnp.dot(jnp.sum(d * d, axis=0, keepdims=True), member,
+                    preferred_element_type=jnp.float32) * inv_n
+    var_c = jnp.dot(var_g, member.T, preferred_element_type=jnp.float32)
+    yn = d * jax.lax.rsqrt(var_c + eps)
     yn = yn * gamma_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32)
 
     # Mish(x) = x * tanh(softplus(x))
