@@ -61,13 +61,16 @@ def _block1d_kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, o_ref,
     inv_n = 1.0 / (t * cg)
 
     mean_g = jnp.dot(jnp.sum(y, axis=0, keepdims=True), member,
+                     precision=prec,
                      preferred_element_type=jnp.float32) * inv_n  # (1, G)
-    mean_c = jnp.dot(mean_g, member.T,
+    mean_c = jnp.dot(mean_g, member.T, precision=prec,
                      preferred_element_type=jnp.float32)          # (1, C)
     d = y - mean_c
     var_g = jnp.dot(jnp.sum(d * d, axis=0, keepdims=True), member,
+                    precision=prec,
                     preferred_element_type=jnp.float32) * inv_n
-    var_c = jnp.dot(var_g, member.T, preferred_element_type=jnp.float32)
+    var_c = jnp.dot(var_g, member.T, precision=prec,
+                    preferred_element_type=jnp.float32)
     yn = d * jax.lax.rsqrt(var_c + eps)
     yn = yn * gamma_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32)
 
