@@ -38,6 +38,8 @@ def main(argv=None):
                         help="denoiser strength (0.00025 in the reference notebooks)")
     parser.add_argument("--output", type=str, default="infer_output.wav")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--spk", type=int, default=None,
+                        help="speaker id (multi-speaker checkpoints)")
     parser.add_argument("--long-form", action="store_true",
                         help="split on sentences/'|' and synthesize chunked")
     args = parser.parse_args(argv)
@@ -90,7 +92,7 @@ def main(argv=None):
         result = syn.synthesize(args.text, n_timesteps=args.nfe,
                                 temperature=args.temperature,
                                 length_scale=args.length_scale,
-                                seed=args.seed)
+                                seed=args.seed, spk=args.spk)
     dt = time.perf_counter() - t0
 
     mel = result.mel

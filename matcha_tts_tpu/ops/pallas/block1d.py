@@ -16,6 +16,13 @@ this; other shapes fall back to the XLA path).
 Masking semantics match the reference: the conv consumes `x * mask` (the
 caller pre-masks), GroupNorm statistics INCLUDE padded frames
 (models/nn.py group_norm docstring), and the caller re-masks the output.
+
+Numerics: all dots run at Precision.HIGHEST, so the kernel is fp32-exact —
+verified on hardware against the XLA path under
+jax_default_matmul_precision=highest (maxdiff 8e-6 at T=512, C=256).
+Under JAX's TPU default (bf16 matmul precision) the unfused XLA path
+itself deviates by ~1e-2 per block, so with `DecoderConfig.use_pallas`
+the fused kernel is the MORE precise of the two.
 """
 
 from __future__ import annotations
