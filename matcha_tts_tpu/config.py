@@ -95,6 +95,9 @@ class HiFiGANConfig:
     )
     num_mels: int = 80
     sampling_rate: int = 22050
+    # Fuse each level's 3-branch MRF resblock stack into one Pallas kernel
+    # where shapes allow (ops/pallas/mrf.py); XLA path otherwise.
+    use_pallas: bool = False
 
     @property
     def total_upsample(self) -> int:

@@ -98,6 +98,19 @@ def resblock2(params, x, kernel_size: int, dilations=(1, 3)):
 # ---------------------------------------------------------------------------
 
 
+def _mrf_fusable(cfg: HiFiGANConfig, t: int, c: int) -> bool:
+    """Gate for the fused Pallas MRF path (ops/pallas/mrf.py)."""
+    if not cfg.use_pallas or cfg.resblock != "1":
+        return False
+    if any(tuple(d) != (1, 3, 5) for d in cfg.resblock_dilation_sizes):
+        return False
+    from matcha_tts_tpu.ops.pallas.mrf import mrf_pallas_ok
+
+    return mrf_pallas_ok(t, c)
+
+
+
+
 def init_generator(key, cfg: HiFiGANConfig):
     n_ups = len(cfg.upsample_rates)
     n_kernels = len(cfg.resblock_kernel_sizes)
@@ -135,15 +148,25 @@ def generator(params, mel: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         x = _lrelu(x)
         x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
-        xs = None
-        for j in range(n_kernels):
-            rb = params["resblocks"][i * n_kernels + j]
-            kk = cfg.resblock_kernel_sizes[j]
-            dd = cfg.resblock_dilation_sizes[j]
-            y = (resblock1(rb, x, kk, dd) if cfg.resblock == "1"
-                 else resblock2(rb, x, kk, dd))
-            xs = y if xs is None else xs + y
-        x = xs / n_kernels
+        level_blocks = [params["resblocks"][i * n_kernels + j]
+                        for j in range(n_kernels)]
+        if _mrf_fusable(cfg, x.shape[1], x.shape[2]):
+            from matcha_tts_tpu.ops.pallas.mrf import mrf_fused, pack_mrf_weights
+
+            w1, b1, w2, b2 = pack_mrf_weights(level_blocks,
+                                              cfg.resblock_kernel_sizes)
+            x = mrf_fused(x.astype(jnp.float32), w1, b1, w2, b2,
+                          kernel_sizes=cfg.resblock_kernel_sizes).astype(x.dtype)
+        else:
+            xs = None
+            for j in range(n_kernels):
+                rb = level_blocks[j]
+                kk = cfg.resblock_kernel_sizes[j]
+                dd = cfg.resblock_dilation_sizes[j]
+                y = (resblock1(rb, x, kk, dd) if cfg.resblock == "1"
+                     else resblock2(rb, x, kk, dd))
+                xs = y if xs is None else xs + y
+            x = xs / n_kernels
     x = _lrelu(x, 0.01)  # final LReLU uses torch's default slope (models.py:193)
     x = nn.conv1d(params["conv_post"], x, padding=3)
     return jnp.tanh(x)[..., 0]

@@ -1,0 +1,196 @@
+"""Pallas TPU kernel: fused HiFi-GAN multi-receptive-field (MRF) stack.
+
+One upsample level of the HiFi-GAN generator runs 3 resblock branches
+(k in {3, 7, 11}) of 3 residual sub-blocks each — 18 dilated convolutions
+plus LeakyReLUs and residual adds (reference: hifigan/models.py:14-97,
+181-192).  As separate XLA ops at waveform rate that is ~18 HBM round
+trips per level; the deep levels (C <= 64, T up to hop*T_mel samples)
+dominate vocoder time.
+
+This kernel computes the ENTIRE level-MRF for a time tile in VMEM:
+
+  out = mean_j  resblock1_{k_j}(x)           (branch sum / 3)
+
+* grid = (B, T/TILE); halo exchange uses three shifted views of x
+  (prev/cur/next tile) concatenated in VMEM, with edge tiles zero-filled.
+  A halo of H=64 covers the deepest receptive field (k=11, dilations
+  1,3,5 -> 60).
+* each dilated conv is a sum over taps of statically-shifted (T, C) @
+  (C, C) matmuls — MXU work on VMEM-resident data.
+* weights are packed (branch, sub, tap<=11, C, C), zero-padded taps are
+  skipped statically per-branch.
+
+Numerics: fp32 math with HIGHEST-precision dots (bit-comparable to the
+XLA path under highest matmul precision).  Used for C in {32, 64} (the
+wav-rate levels); larger channel counts stay on the XLA path where the
+MXU is already well utilized.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HALO = 64
+_KERNELS = (3, 7, 11)
+_DILATIONS = (1, 3, 5)
+
+
+def pack_mrf_weights(resblocks: Sequence[dict],
+                     kernel_sizes: Sequence[int] = _KERNELS) -> Tuple:
+    """Pack one level's 3 resblock param dicts into dense arrays
+    (jit-traceable: static-amount pads + stacks).
+
+    Returns (w1, b1, w2, b2):
+      w1, w2: (3, 3, 11, C, C) — taps zero-padded to 11
+      b1, b2: (3, 3, 1, C)
+    """
+    max_k = max(kernel_sizes)
+
+    def pad_w(w, k):
+        return jnp.pad(jnp.asarray(w, jnp.float32),
+                       ((0, max_k - k), (0, 0), (0, 0)))
+
+    w1 = jnp.stack([
+        jnp.stack([pad_w(rb["convs1"][m]["weight"], k) for m in range(3)])
+        for rb, k in zip(resblocks, kernel_sizes)
+    ])
+    w2 = jnp.stack([
+        jnp.stack([pad_w(rb["convs2"][m]["weight"], k) for m in range(3)])
+        for rb, k in zip(resblocks, kernel_sizes)
+    ])
+    b1 = jnp.stack([
+        jnp.stack([jnp.asarray(rb["convs1"][m]["bias"], jnp.float32)[None]
+                   for m in range(3)])
+        for rb in resblocks
+    ])
+    b2 = jnp.stack([
+        jnp.stack([jnp.asarray(rb["convs2"][m]["bias"], jnp.float32)[None]
+                   for m in range(3)])
+        for rb in resblocks
+    ])
+    return w1, b1, w2, b2
+
+
+def _shift(x: jnp.ndarray, off: int) -> jnp.ndarray:
+    """Shift rows by `off` with zero fill (off > 0 pulls future rows up)."""
+    t, c = x.shape
+    if off == 0:
+        return x
+    z = jnp.zeros((abs(off), c), x.dtype)
+    if off > 0:
+        return jnp.concatenate([x[off:], z], axis=0)
+    return jnp.concatenate([z, x[:off]], axis=0)
+
+
+def _mrf_kernel(x_prev_ref, x_cur_ref, x_next_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, o_ref, *, kernel_sizes, dilations, slope: float):
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+
+    prev_tail = x_prev_ref[0, -HALO:, :]
+    next_head = x_next_ref[0, :HALO, :]
+    # zero the halo at the sequence edges (index maps clamp at the ends)
+    prev_tail = jnp.where(i == 0, 0.0, prev_tail)
+    next_head = jnp.where(i == n - 1, 0.0, next_head)
+    halo = jnp.concatenate([prev_tail, x_cur_ref[0], next_head], axis=0)
+
+    tile = x_cur_ref.shape[1]
+    prec = jax.lax.Precision.HIGHEST
+
+    # Row-validity mask: at the sequence edges the halo rows are VIRTUAL
+    # (outside [0, T)).  The reference zero-pads every conv input there,
+    # so virtual rows must read as zero before each conv — the chain's
+    # intermediate values at those rows are otherwise bias-contaminated.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile + 2 * HALO, 1), 0)
+    left_ok = jnp.logical_or(i > 0, rows >= HALO)
+    right_ok = jnp.logical_or(i < n - 1, rows < HALO + tile)
+    valid = jnp.logical_and(left_ok, right_ok).astype(jnp.float32)
+
+    def conv_same(x, j, m, which_w, which_b, dilation):
+        k = kernel_sizes[j]
+        half = (k * dilation - dilation) // 2
+        x = x * valid  # emulate the reference's zero padding at seq edges
+        acc = None
+        for tap in range(k):
+            off = tap * dilation - half
+            y = jnp.dot(_shift(x, off), which_w[j, m, tap], precision=prec,
+                        preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+        return acc + which_b[j, m, 0]
+
+    acc = jnp.zeros((tile, o_ref.shape[-1]), jnp.float32)
+    for j in range(len(kernel_sizes)):
+        xb = halo
+        for m in range(3):
+            xt = jax.nn.leaky_relu(xb, slope)
+            xt = conv_same(xt, j, m, w1_ref[...], b1_ref[...], dilations[m])
+            xt = jax.nn.leaky_relu(xt, slope)
+            xt = conv_same(xt, j, m, w2_ref[...], b2_ref[...], 1)
+            xb = xb + xt
+        acc = acc + xb[HALO : HALO + tile]
+    o_ref[0] = (acc / len(kernel_sizes)).astype(o_ref.dtype)
+
+
+def _tile_for(c: int) -> int:
+    return 8192 if c <= 32 else 4096
+
+
+def mrf_pallas_ok(t: int, c: int) -> bool:
+    """Gate: wav-rate channel widths, tile-divisible length, 128-lane pad
+    acceptable only up to C=64 (larger C -> XLA path is efficient)."""
+    return c in (32, 64) and t % _tile_for(c) == 0 and t >= 2 * _tile_for(c)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_sizes", "dilations",
+                                             "slope", "interpret"))
+def mrf_fused(x: jnp.ndarray, w1, b1, w2, b2,
+              kernel_sizes: Tuple[int, ...] = _KERNELS,
+              dilations: Tuple[int, ...] = _DILATIONS,
+              slope: float = 0.1, interpret: bool = False) -> jnp.ndarray:
+    """Fused 3-branch MRF: x (B, T, C) -> (B, T, C) = mean of resblocks."""
+    b, t, c = x.shape
+    tile = _tile_for(c)
+    n_tiles = t // tile
+
+    kernel = functools.partial(_mrf_kernel, kernel_sizes=kernel_sizes,
+                               dilations=dilations, slope=slope)
+
+    def idx_prev(bi, ti):
+        return (bi, jnp.maximum(ti - 1, 0), 0)
+
+    def idx_cur(bi, ti):
+        return (bi, ti, 0)
+
+    def idx_next(bi, ti):
+        return (bi, jnp.minimum(ti + 1, n_tiles - 1), 0)
+
+    def idx_w(bi, ti):
+        return (0, 0, 0, 0, 0)
+
+    def idx_b(bi, ti):
+        return (0, 0, 0, 0)
+
+    wspec1 = pl.BlockSpec(w1.shape, idx_w, memory_space=pltpu.VMEM)
+    wspec2 = pl.BlockSpec(w2.shape, idx_w, memory_space=pltpu.VMEM)
+    bspec1 = pl.BlockSpec(b1.shape, idx_b, memory_space=pltpu.VMEM)
+    bspec2 = pl.BlockSpec(b2.shape, idx_b, memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), idx_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), idx_cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), idx_next, memory_space=pltpu.VMEM),
+            wspec1, bspec1, wspec2, bspec2,
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), idx_cur, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        interpret=interpret,
+    )(x, x, x, w1, b1, w2, b2)

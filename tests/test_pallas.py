@@ -30,3 +30,45 @@ def test_block1d_shape_gate():
     assert block1d_pallas_ok(256, 128, 256)
     assert not block1d_pallas_ok(511, 256, 256)
     assert not block1d_pallas_ok(512, 80, 256)
+
+
+def test_mrf_fused_matches_xla():
+    import jax.numpy as jnp
+
+    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.ops.pallas.mrf import mrf_fused, pack_mrf_weights
+
+    rng = np.random.default_rng(1)
+    c = 32
+    # small T for interpret mode; override tile via monkeypatched gate
+    from matcha_tts_tpu.ops.pallas import mrf as mrf_mod
+
+    orig = mrf_mod._tile_for
+    mrf_mod._tile_for = lambda c: 64
+    try:
+        t = 192
+        x = rng.standard_normal((2, t, c)).astype(np.float32)
+        rbs = [hifigan.init_resblock1(jax.random.PRNGKey(i), c, k, (1, 3, 5))
+               for i, k in enumerate((3, 7, 11))]
+        ref = None
+        for rb, k in zip(rbs, (3, 7, 11)):
+            y = hifigan.resblock1(rb, jnp.asarray(x), k, (1, 3, 5))
+            ref = y if ref is None else ref + y
+        ref = np.asarray(ref) / 3.0
+
+        w1, b1, w2, b2 = pack_mrf_weights(rbs)
+        fused = np.asarray(mrf_fused(jnp.asarray(x), w1, b1, w2, b2,
+                                     interpret=True))
+        np.testing.assert_allclose(fused, ref, atol=3e-5)
+    finally:
+        mrf_mod._tile_for = orig
+
+
+def test_mrf_gate():
+    from matcha_tts_tpu.ops.pallas.mrf import mrf_pallas_ok
+
+    assert mrf_pallas_ok(98304, 64)
+    assert mrf_pallas_ok(196608, 32)
+    assert not mrf_pallas_ok(98304, 128)   # big channels stay on XLA
+    assert not mrf_pallas_ok(98300, 64)    # not tile-divisible
+    assert not mrf_pallas_ok(4096, 64)     # too short to tile
