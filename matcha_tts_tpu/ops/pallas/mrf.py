@@ -20,10 +20,16 @@ This kernel computes the ENTIRE level-MRF for a time tile in VMEM:
 * weights are packed (branch, sub, tap<=11, C, C), zero-padded taps are
   skipped statically per-branch.
 
-Numerics: fp32 math with HIGHEST-precision dots (bit-comparable to the
-XLA path under highest matmul precision).  Used for C in {32, 64} (the
-wav-rate levels); larger channel counts stay on the XLA path where the
-MXU is already well utilized.
+Numerics: fp32 math with HIGHEST-precision dots — verified bit-close
+(maxdiff 3e-7) against the XLA path on v5e hardware.
+
+STATUS (v5e, measured): with the 512-row tiles required by Mosaic's 16 MB
+scoped-VMEM liveness over the unrolled tap matmuls, the fused kernel runs
+~3x SLOWER than XLA's conv emitter at these shapes (69 ms vs 21 ms for a
+768-frame vocoder pass) — the 128-lane padding at C in {32, 64} and the
+25% halo recompute dominate.  Kept flag-gated (HiFiGANConfig.use_pallas,
+default OFF) as a correct, tested baseline for future tuning
+(scratch-ref accumulation would permit 4-8x larger tiles).
 """
 
 from __future__ import annotations
@@ -138,7 +144,11 @@ def _mrf_kernel(x_prev_ref, x_cur_ref, x_next_ref, w1_ref, b1_ref, w2_ref,
 
 
 def _tile_for(c: int) -> int:
-    return 8192 if c <= 32 else 4096
+    # Small tiles: Mosaic's scoped-VMEM liveness over the unrolled tap
+    # matmuls keeps tens of (TILE+2H, 128-lane) temporaries alive; 512 rows
+    # keeps the stack under the 16 MB scoped limit with headroom.
+    del c
+    return 512
 
 
 def mrf_pallas_ok(t: int, c: int) -> bool:

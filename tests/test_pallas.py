@@ -71,4 +71,4 @@ def test_mrf_gate():
     assert mrf_pallas_ok(196608, 32)
     assert not mrf_pallas_ok(98304, 128)   # big channels stay on XLA
     assert not mrf_pallas_ok(98300, 64)    # not tile-divisible
-    assert not mrf_pallas_ok(4096, 64)     # too short to tile
+    assert not mrf_pallas_ok(512, 64)      # too short to tile
