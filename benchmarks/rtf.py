@@ -1,9 +1,11 @@
 """RTF benchmark harness with per-stage breakdown (encode / ODE / vocode).
 
 The reference's only perf tooling is wall-clock deltas in notebooks
-(MOS_audiou_generator.ipynb cell 12).  This harness is a first-class
-benchmark: per-stage timers, NFE sweep, batch sweep, optional
-`jax.profiler` trace.
+(MOS_audiou_generator.ipynb cell 12).  This harness measures true DEVICE
+time per stage by chaining K dependent iterations inside one jitted
+program (`lax.fori_loop`) and fetching a single scalar — naive
+`block_until_ready` timing is unreliable on remote-tunnel transports
+(docs/RESULTS.md).
 
 Usage:
   python benchmarks/rtf.py [--nfe 10] [--batch 1] [--trace /tmp/trace]
@@ -25,33 +27,38 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+CHAIN = 8  # dependent iterations per timing sample
 
-def timed(fn, *args, n=5, **kw):
-    """Median wall time of a device computation (blocks on result)."""
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(n):
+
+def chained_time(f, *args, n_samples: int = 3) -> float:
+    """Median seconds per iteration of a chained-K jitted callable.
+
+    `f(key, *args)` must internally run CHAIN dependent iterations and
+    return a scalar.
+    """
+    float(f(jax.random.PRNGKey(0), *args))  # compile + warm
+    ts = []
+    for s in range(1, n_samples + 1):
         t0 = time.perf_counter()
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)), out
+        float(f(jax.random.PRNGKey(s), *args))
+        ts.append((time.perf_counter() - t0) / CHAIN)
+    return float(np.median(ts))
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--nfe", type=int, default=10)
     p.add_argument("--batch", type=int, default=1)
-    p.add_argument("--tokens", type=int, default=128)
+    p.add_argument("--tokens", type=int, default=256)
     p.add_argument("--frames", type=int, default=768)
     p.add_argument("--sweep", action="store_true")
     p.add_argument("--trace", type=str, default=None)
     args = p.parse_args(argv)
 
     from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
+    from matcha_tts_tpu.inference.synthesizer import _synthesize_to_wav
     from matcha_tts_tpu.models import hifigan
-    from matcha_tts_tpu.models.matcha import init_matcha, synthesize
+    from matcha_tts_tpu.models.matcha import init_matcha
     from matcha_tts_tpu.models.text_encoder import text_encoder
 
     cfg = MatchaConfig()
@@ -63,61 +70,76 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     x = np.zeros((b, t_x), np.int32)
     for i in range(b):
-        x[i, : t_x - 8] = rng.integers(1, 178, size=t_x - 8)
-    x_lengths = np.full((b,), t_x - 8, np.int32)
-    key = jax.random.PRNGKey(2)
+        x[i, : t_x - 8] = rng.integers(1, cfg.n_vocab, size=t_x - 8)
+    xd = jnp.asarray(x)
+    xl = jnp.asarray(np.full((b,), t_x - 8, np.int32))
+    mel0 = jnp.asarray(rng.standard_normal((b, t_y, cfg.audio.n_mels))
+                       .astype(np.float32))
 
     sr = cfg.audio.sample_rate
     hop = cfg.audio.hop_length
-
-    @functools.partial(jax.jit, static_argnames=())
-    def encode_fn(params, x, x_lengths):
-        mu, logw, x_mask = text_encoder(params["encoder"], x, x_lengths,
-                                        cfg.encoder, cfg.duration_predictor)
-        return mu, logw, x_mask
-
-    def synth_fn(nfe):
-        def f(params, key, x, x_lengths):
-            return synthesize(params, key, x, x_lengths, cfg,
-                              n_timesteps=nfe, t_y_max=t_y,
-                              temperature=0.667).mel
-        return jax.jit(f)
+    audio_sec = b * t_y * hop / sr
 
     @jax.jit
-    def vocode_fn(voc, mel_btc):
-        return hifigan.generator(voc, mel_btc, hcfg)
+    def enc_chain(key):
+        def body(i, carry):
+            acc, _ = carry
+            mu, logw, m = text_encoder(params["encoder"],
+                                       xd + (acc * 0).astype(jnp.int32), xl,
+                                       cfg.encoder, cfg.duration_predictor)
+            return acc + jnp.sum(mu), key
+        acc, _ = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0), key))
+        return acc
+
+    @jax.jit
+    def voc_chain(key):
+        def body(i, carry):
+            acc, key = carry
+            key = jax.random.fold_in(key, i)
+            noise = jax.random.normal(key, mel0.shape, jnp.float32) * 0.01
+            wav = hifigan.generator(voc, mel0 + noise, hcfg)
+            return acc + jnp.sum(wav), key
+        acc, _ = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0), key))
+        return acc
+
+    def full_chain(nfe):
+        @jax.jit
+        def f(key):
+            def body(i, carry):
+                acc, key = carry
+                key = jax.random.fold_in(key, i)
+                out, wav = _synthesize_to_wav.__wrapped__(
+                    params, voc, key, xd, xl, cfg, hcfg, nfe, t_y,
+                    0.667, 1.0, None, "float32")
+                return acc + jnp.sum(wav), key
+            acc, _ = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0), key))
+            return acc
+        return f
+
+    t_enc = chained_time(enc_chain)
+    t_voc = chained_time(voc_chain)
 
     nfes = (2, 4, 10, 32) if args.sweep else (args.nfe,)
     results = []
     for nfe in nfes:
-        sf = synth_fn(nfe)
-        t_enc, _ = timed(encode_fn, params, x, x_lengths)
-        t_mel, mel = timed(sf, params, key, x, x_lengths)
-        mel_btc = jnp.transpose(mel, (0, 2, 1))
-        t_voc, wav = timed(vocode_fn, voc, mel_btc)
-
-        audio_sec = t_y * hop / sr * b
-        e2e = t_mel + t_voc
+        t_full = chained_time(full_chain(nfe))
         rec = {
             "nfe": nfe, "batch": b, "tokens": t_x, "frames": t_y,
             "encode_ms": t_enc * 1e3,
-            "mel_ms": t_mel * 1e3,
             "vocode_ms": t_voc * 1e3,
-            "e2e_ms": e2e * 1e3,
+            "full_graph_ms": t_full * 1e3,
             "audio_sec": audio_sec,
-            "rtf": e2e / audio_sec,
-            "mel_frames_per_sec": t_y * b / t_mel,
+            "device_rtf": t_full / audio_sec,
+            "mel_frames_per_sec": t_y * b / max(t_full - t_voc, 1e-9),
             "vocoder_audio_sec_per_sec": audio_sec / t_voc,
         }
         results.append(rec)
         print(json.dumps(rec))
 
     if args.trace:
+        f = full_chain(args.nfe)
         with jax.profiler.trace(args.trace):
-            sf = synth_fn(args.nfe)
-            mel = sf(params, key, x, x_lengths)
-            wav = vocode_fn(voc, jnp.transpose(mel, (0, 2, 1)))
-            jax.block_until_ready(wav)
+            float(f(jax.random.PRNGKey(99)))
         print(f"trace written to {args.trace}")
 
     return results
