@@ -293,15 +293,17 @@ class Synthesizer:
         return parts
 
     def synthesize_long(self, text: str, silence_ms: float = 100.0,
-                        mesh=None, **kw) -> SynthesisResult:
-        """Chunked long-form synthesis with short silences between chunks.
+                        crossfade_ms: float = 0.0, mesh=None,
+                        **kw) -> SynthesisResult:
+        """Chunked long-form synthesis.
 
-        With a `mesh`, chunks are synthesized as one batch sharded over the
-        data axis (BASELINE config 5: long-form streaming across a pod);
+        Chunks are joined with short silences (default) or, with
+        `crossfade_ms > 0`, overlap-added under a linear crossfade.  With a
+        `mesh`, chunks are synthesized as one batch sharded over the data
+        axis (BASELINE config 5: long-form streaming across a pod);
         otherwise sequentially on the local chip."""
         chunks = self.split_text(text)
         sr = self.matcha_cfg.audio.sample_rate
-        gap = np.zeros(int(sr * silence_ms / 1000.0), np.float32)
         wavs, mels, attns = [], [], []
         if mesh is not None and len(chunks) > 1:
             results = self.synthesize_batch_sharded(chunks, mesh, **kw)
@@ -315,9 +317,24 @@ class Synthesizer:
                 wavs.append(r.wav)
                 mels.append(r.mel)
                 attns.append(r.attn)
-        wav = np.concatenate(
-            [w for pair in zip(wavs, [gap] * len(wavs)) for w in pair][:-1]
-        ) if wavs else np.zeros(0, np.float32)
+
+        if not wavs:
+            wav = np.zeros(0, np.float32)
+        elif crossfade_ms > 0:
+            n_fade = max(1, int(sr * crossfade_ms / 1000.0))
+            fade_in = np.linspace(0.0, 1.0, n_fade, dtype=np.float32)
+            wav = wavs[0]
+            for w in wavs[1:]:
+                n = min(n_fade, len(wav), len(w))
+                head, overlap_a = wav[: len(wav) - n], wav[len(wav) - n:]
+                overlap_b, tail = w[:n], w[n:]
+                mixed = overlap_a * fade_in[:n][::-1] + overlap_b * fade_in[:n]
+                wav = np.concatenate([head, mixed, tail])
+        else:
+            gap = np.zeros(int(sr * silence_ms / 1000.0), np.float32)
+            wav = np.concatenate(
+                [w for pair in zip(wavs, [gap] * len(wavs)) for w in pair][:-1]
+            )
         return SynthesisResult(
             wav=wav,
             mel=np.concatenate(mels, axis=1) if mels else np.zeros((0, 0)),

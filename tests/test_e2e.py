@@ -119,3 +119,26 @@ def test_sharded_batch_synthesis():
     # sharded result matches unsharded batch result
     rs1 = syn.synthesize_batch(texts[:2], n_timesteps=2)
     np.testing.assert_allclose(rs[0].wav, rs1[0].wav, atol=2e-5)
+
+
+def test_long_form_crossfade():
+    cfg, hcfg, mp, vp = tiny_models()
+    syn = Synthesizer(mp, cfg, vp, hcfg,
+                      text_buckets=(32,), frame_buckets=(64,))
+    r_gap = syn.synthesize_long("one two. three four.", n_timesteps=2)
+    r_xf = syn.synthesize_long("one two. three four.", n_timesteps=2,
+                               crossfade_ms=20.0)
+    assert len(r_xf.wav) > 0
+    # crossfaded output is shorter than silence-joined output
+    assert len(r_xf.wav) < len(r_gap.wav)
+    assert np.isfinite(r_xf.wav).all()
+
+
+def test_plot_helpers(tmp_path):
+    from matcha_tts_tpu.utils.plot import plot_alignment, plot_spectrogram
+
+    rng = np.random.default_rng(0)
+    plot_spectrogram(rng.standard_normal((80, 100)), tmp_path / "spec.png")
+    plot_alignment(rng.standard_normal((40, 100)), tmp_path / "attn.png")
+    # either PNG (matplotlib present) or NPY fallback must exist
+    assert any(p.suffix in (".png", ".npy") for p in tmp_path.iterdir())
