@@ -16,7 +16,7 @@ forward-compatible with 2-D layouts on pods).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -6,9 +6,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Optional, Tuple
 
-import jax
-import numpy as np
-
 from matcha_tts_tpu.config import MatchaConfig, config_from_dict
 
 

@@ -10,7 +10,6 @@ from pathlib import Path
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from matcha_tts_tpu.config import MatchaConfig, TrainConfig, config_to_dict
@@ -180,6 +179,16 @@ def fit(
                                         train_cfg)
             step += 1
             if step % train_cfg.log_every_n_steps == 0:
+                # failure detection: a non-finite loss means the run is
+                # poisoned — stop loudly instead of writing NaN checkpoints
+                # (the reference has no such guard, SURVEY.md §5)
+                loss_val = float(metrics["loss"])
+                if not np.isfinite(loss_val):
+                    ckpt.save(step, jax.device_get(state), model_cfg)
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_val} at step {step}; "
+                        f"state checkpointed for post-mortem"
+                    )
                 dt = time.time() - t0
                 frames = int(np.sum(np.asarray(raw["y_lengths"])))
                 logger.log(step, "train", metrics,

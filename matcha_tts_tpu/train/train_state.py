@@ -9,14 +9,14 @@ data-parallel mesh sharding XLA inserts the psum gradient all-reduce.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from matcha_tts_tpu.config import MatchaConfig, TrainConfig
-from matcha_tts_tpu.train.losses import LossOutput, matcha_losses
+from matcha_tts_tpu.train.losses import matcha_losses
 
 
 class TrainState(NamedTuple):

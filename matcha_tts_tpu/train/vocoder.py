@@ -12,7 +12,7 @@ vendored config (hifigan/config.py:4-8).
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

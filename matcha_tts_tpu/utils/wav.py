@@ -3,7 +3,6 @@ available here — PCM16 WAV writing is 40 lines of stdlib)."""
 
 from __future__ import annotations
 
-import struct
 import wave
 
 import numpy as np
