@@ -142,3 +142,35 @@ def test_plot_helpers(tmp_path):
     plot_alignment(rng.standard_normal((40, 100)), tmp_path / "attn.png")
     # either PNG (matplotlib present) or NPY fallback must exist
     assert any(p.suffix in (".png", ".npy") for p in tmp_path.iterdir())
+
+
+def test_multispeaker_inference():
+    from matcha_tts_tpu.config import (CFMConfig, DecoderConfig,
+                                       DurationPredictorConfig, EncoderConfig,
+                                       MatchaConfig)
+    from matcha_tts_tpu.models.matcha import init_matcha, synthesize
+
+    cfg = MatchaConfig(
+        n_vocab=178, n_spks=4, spk_emb_dim=8,
+        encoder=EncoderConfig(n_feats=8, n_channels=32, filter_channels=64,
+                              n_heads=2, n_layers=1, p_dropout=0.0),
+        duration_predictor=DurationPredictorConfig(filter_channels_dp=32),
+        decoder=DecoderConfig(channels=(16, 16), attention_head_dim=8,
+                              num_heads=2, n_blocks=1, num_mid_blocks=1),
+        audio=AudioConfig(n_mels=8),
+    )
+    assert cfg.decoder_in_channels == 2 * 8 + 8  # + spk_emb_dim
+    params = init_matcha(jax.random.PRNGKey(0), cfg)
+    x = np.zeros((2, 16), np.int32)
+    x[:, :9] = np.arange(1, 10)
+    xl = np.asarray([9, 9], np.int32)
+    out0 = synthesize(params, jax.random.PRNGKey(1), x, xl, cfg,
+                      n_timesteps=2, t_y_max=32,
+                      spks=np.asarray([0, 0], np.int32))
+    out1 = synthesize(params, jax.random.PRNGKey(1), x, xl, cfg,
+                      n_timesteps=2, t_y_max=32,
+                      spks=np.asarray([0, 2], np.int32))
+    m0, m1 = np.asarray(out0.mel), np.asarray(out1.mel)
+    # same speaker row identical; different speaker row differs
+    np.testing.assert_allclose(m0[0], m1[0], atol=1e-5)
+    assert np.abs(m0[1] - m1[1]).max() > 1e-4

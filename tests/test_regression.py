@@ -88,3 +88,45 @@ def test_bfloat16_inference_sane():
                                   np.asarray(out16.y_lengths))
     # bf16 compute tracks fp32 within loose tolerance
     assert np.abs(a - b).mean() < 0.3
+
+
+def test_golden_fixtures():
+    """Exact-value regression against committed golden outputs (generated
+    by tests/make_golden.py on CPU/HIGHEST).  Guards future refactors
+    against silent numeric drift."""
+    from pathlib import Path
+
+    from matcha_tts_tpu.ops import log_mel_spectrogram, maximum_path
+
+    g = np.load(Path(__file__).parent / "golden" / "golden.npz")
+
+    t = np.arange(22050) / 22050.0
+    chirp = (0.5 * np.sin(2 * np.pi * (200 + 400 * t) * t)).astype(np.float32)
+    mel = np.asarray(log_mel_spectrogram(chirp[None]))
+    np.testing.assert_allclose(mel, g["mel_chirp"], atol=2e-4)
+
+    path = np.asarray(maximum_path(g["mas_neg_cent"], g["mas_mask"]))
+    np.testing.assert_array_equal(path, g["mas_path"])
+
+    from matcha_tts_tpu.config import (AudioConfig, DecoderConfig,
+                                       DurationPredictorConfig, EncoderConfig,
+                                       MatchaConfig)
+    from matcha_tts_tpu.models.matcha import init_matcha, synthesize
+
+    cfg = MatchaConfig(
+        n_vocab=60,
+        encoder=EncoderConfig(n_feats=8, n_channels=32, filter_channels=64,
+                              n_heads=2, n_layers=1, p_dropout=0.0),
+        duration_predictor=DurationPredictorConfig(filter_channels_dp=32),
+        decoder=DecoderConfig(channels=(16, 16), attention_head_dim=8,
+                              num_heads=2, n_blocks=1, num_mid_blocks=1),
+        audio=AudioConfig(n_mels=8),
+    )
+    params = init_matcha(jax.random.PRNGKey(777), cfg)
+    x = np.zeros((1, 16), np.int32)
+    x[0, :9] = np.arange(1, 10)
+    out = synthesize(params, jax.random.PRNGKey(5), x,
+                     np.asarray([9], np.int32), cfg, n_timesteps=4,
+                     t_y_max=32)
+    np.testing.assert_array_equal(np.asarray(out.y_lengths), g["synth_ylen"])
+    np.testing.assert_allclose(np.asarray(out.mel), g["synth_mel"], atol=2e-4)
