@@ -23,13 +23,14 @@ This kernel computes the ENTIRE level-MRF for a time tile in VMEM:
 Numerics: fp32 math with HIGHEST-precision dots — verified bit-close
 (maxdiff 3e-7) against the XLA path on v5e hardware.
 
-STATUS (v5e, measured): with the 512-row tiles required by Mosaic's 16 MB
-scoped-VMEM liveness over the unrolled tap matmuls, the fused kernel runs
-~3x SLOWER than XLA's conv emitter at these shapes (69 ms vs 21 ms for a
-768-frame vocoder pass) — the 128-lane padding at C in {32, 64} and the
-25% halo recompute dominate.  Kept flag-gated (HiFiGANConfig.use_pallas,
-default OFF) as a correct, tested baseline for future tuning
-(scratch-ref accumulation would permit 4-8x larger tiles).
+STATUS (v5e, measured): exact but slower than XLA's conv emitter at these
+shapes — v1 (value-based, 512-row tiles) 69 ms; v2 (scratch-ref
+accumulation, 2048-row tiles, this file) 57 ms; XLA 21 ms for a 768-frame
+vocoder pass.  The gap is structural: 128-lane padding at C in {32, 64}
+wastes 2-4x of every tap matmul and the halo adds ~6% recompute.  Next
+step (docs/ROADMAP.md): time-in-lanes packing — compute 4 consecutive
+output frames per 128-lane row with block-Toeplitz weights.  Kept
+flag-gated (HiFiGANConfig.use_pallas, default OFF).
 """
 
 from __future__ import annotations
@@ -95,7 +96,11 @@ def _shift(x: jnp.ndarray, off: int) -> jnp.ndarray:
 
 
 def _mrf_kernel(x_prev_ref, x_cur_ref, x_next_ref, w1_ref, b1_ref, w2_ref,
-                b2_ref, o_ref, *, kernel_sizes, dilations, slope: float):
+                b2_ref, o_ref, xb_ref, act_ref, xt_ref, acc_ref,
+                *, kernel_sizes, dilations, slope: float):
+    """Scratch-ref variant: every intermediate is stored to one of four
+    VMEM scratch buffers, bounding Mosaic's liveness stack to ~4 tiles
+    regardless of how many tap matmuls unroll."""
     i = pl.program_id(1)
     n = pl.num_programs(1)
 
@@ -104,7 +109,6 @@ def _mrf_kernel(x_prev_ref, x_cur_ref, x_next_ref, w1_ref, b1_ref, w2_ref,
     # zero the halo at the sequence edges (index maps clamp at the ends)
     prev_tail = jnp.where(i == 0, 0.0, prev_tail)
     next_head = jnp.where(i == n - 1, 0.0, next_head)
-    halo = jnp.concatenate([prev_tail, x_cur_ref[0], next_head], axis=0)
 
     tile = x_cur_ref.shape[1]
     prec = jax.lax.Precision.HIGHEST
@@ -118,37 +122,41 @@ def _mrf_kernel(x_prev_ref, x_cur_ref, x_next_ref, w1_ref, b1_ref, w2_ref,
     right_ok = jnp.logical_or(i < n - 1, rows < HALO + tile)
     valid = jnp.logical_and(left_ok, right_ok).astype(jnp.float32)
 
-    def conv_same(x, j, m, which_w, which_b, dilation):
+    def conv_same_into_xt(j, m, which_w, which_b, dilation):
+        """xt_ref <- conv(act_ref) with 'same' zero padding."""
         k = kernel_sizes[j]
         half = (k * dilation - dilation) // 2
-        x = x * valid  # emulate the reference's zero padding at seq edges
-        acc = None
+        xt_ref[...] = jnp.broadcast_to(which_b[m, 0],
+                                       xt_ref.shape).astype(jnp.float32)
         for tap in range(k):
             off = tap * dilation - half
-            y = jnp.dot(_shift(x, off), which_w[j, m, tap], precision=prec,
-                        preferred_element_type=jnp.float32)
-            acc = y if acc is None else acc + y
-        return acc + which_b[j, m, 0]
+            xt_ref[...] += jnp.dot(_shift(act_ref[...], off), which_w[m, tap],
+                                   precision=prec,
+                                   preferred_element_type=jnp.float32)
 
-    acc = jnp.zeros((tile, o_ref.shape[-1]), jnp.float32)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
     for j in range(len(kernel_sizes)):
-        xb = halo
+        xb_ref[...] = jnp.concatenate(
+            [prev_tail, x_cur_ref[0], next_head], axis=0
+        ).astype(jnp.float32)
+        w1j, b1j = w1_ref[j], b1_ref[j]
+        w2j, b2j = w2_ref[j], b2_ref[j]
         for m in range(3):
-            xt = jax.nn.leaky_relu(xb, slope)
-            xt = conv_same(xt, j, m, w1_ref[...], b1_ref[...], dilations[m])
-            xt = jax.nn.leaky_relu(xt, slope)
-            xt = conv_same(xt, j, m, w2_ref[...], b2_ref[...], 1)
-            xb = xb + xt
-        acc = acc + xb[HALO : HALO + tile]
-    o_ref[0] = (acc / len(kernel_sizes)).astype(o_ref.dtype)
+            act_ref[...] = jax.nn.leaky_relu(xb_ref[...], slope) * valid
+            conv_same_into_xt(j, m, w1j, b1j, dilations[m])
+            act_ref[...] = jax.nn.leaky_relu(xt_ref[...], slope) * valid
+            conv_same_into_xt(j, m, w2j, b2j, 1)
+            xb_ref[...] += xt_ref[...]
+        acc_ref[...] += xb_ref[HALO : HALO + tile]
+    o_ref[0] = (acc_ref[...] / len(kernel_sizes)).astype(o_ref.dtype)
 
 
 def _tile_for(c: int) -> int:
-    # Small tiles: Mosaic's scoped-VMEM liveness over the unrolled tap
-    # matmuls keeps tens of (TILE+2H, 128-lane) temporaries alive; 512 rows
-    # keeps the stack under the 16 MB scoped limit with headroom.
+    # Scratch-ref kernel: 4 scratch buffers + pipelined in/out blocks.
+    # (TILE+128) x 128 lanes x 4 B per buffer -> 2048 rows keeps the whole
+    # working set ~10 MB under the 16 MB scoped-VMEM limit.
     del c
-    return 512
+    return 2048
 
 
 def mrf_pallas_ok(t: int, c: int) -> bool:
@@ -202,5 +210,11 @@ def mrf_fused(x: jnp.ndarray, w1, b1, w2, b2,
         ],
         out_specs=pl.BlockSpec((1, tile, c), idx_cur, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * HALO, c), jnp.float32),  # xb
+            pltpu.VMEM((tile + 2 * HALO, c), jnp.float32),  # act
+            pltpu.VMEM((tile + 2 * HALO, c), jnp.float32),  # xt
+            pltpu.VMEM((tile, c), jnp.float32),             # acc
+        ],
         interpret=interpret,
     )(x, x, x, w1, b1, w2, b2)

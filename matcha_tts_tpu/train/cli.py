@@ -30,6 +30,8 @@ def main(argv=None):
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--no_resume", action="store_true")
+    parser.add_argument("--debug_tiny", action="store_true",
+                        help="tiny model config for smoke tests / CI")
     args = parser.parse_args(argv)
 
     import jax
@@ -44,7 +46,20 @@ def main(argv=None):
     else:
         train_fl, val_fl = create_filelists(args.data_root)
 
-    model_cfg = MatchaConfig()
+    if args.debug_tiny:
+        from matcha_tts_tpu.config import (DecoderConfig,
+                                           DurationPredictorConfig,
+                                           EncoderConfig)
+
+        model_cfg = MatchaConfig(
+            encoder=EncoderConfig(n_channels=32, filter_channels=64,
+                                  n_heads=2, n_layers=1),
+            duration_predictor=DurationPredictorConfig(filter_channels_dp=32),
+            decoder=DecoderConfig(channels=(16, 16), attention_head_dim=8,
+                                  num_heads=2, n_blocks=1, num_mid_blocks=1),
+        )
+    else:
+        model_cfg = MatchaConfig()
     train_cfg = TrainConfig(
         batch_size=args.batch_size,
         learning_rate=args.lr,

@@ -58,7 +58,7 @@ def test_train_cli_smoke(tmp_path):
     (tmp_path / "metadata.csv").write_text("\n".join(lines) + "\n")
 
     r = run_cli(["train.cli", "--data_root", str(tmp_path),
-                 "--batch_size", "2", "--max_steps", "1",
+                 "--batch_size", "2", "--max_steps", "1", "--debug_tiny",
                  "--work_dir", str(tmp_path / "run"), "--chips", "1"],
                 cwd=tmp_path)
     # full-size model on CPU for 1 step is heavy; accept success only
