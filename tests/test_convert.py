@@ -216,3 +216,28 @@ def test_orbax_io_roundtrip(tmp_path):
     b = jax.tree.leaves(params2)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_torch_checkpoint_file_roundtrip(tmp_path):
+    """Save a Lightning-style torch checkpoint (model.-prefixed state dict)
+    and load it through the real file path (main.py:94-111 semantics)."""
+    cfg = tiny_cfg()
+    params = jax.device_get(init_matcha(jax.random.PRNGKey(11), cfg))
+    sd = C.export_matcha(params, cfg)
+    ckpt = {
+        "state_dict": {f"model.{k}": torch.from_numpy(np.ascontiguousarray(v))
+                       for k, v in sd.items()},
+        "epoch": 3,
+    }
+    path = tmp_path / "matcha.ckpt"
+    torch.save(ckpt, path)
+
+    loaded_sd = C.load_torch_state_dict(path)
+    assert "encoder.emb.weight" in loaded_sd  # prefix stripped
+    back = C.convert_matcha(loaded_sd, cfg)
+    assert_tree_equal(params, back)
+
+    from matcha_tts_tpu.params.io import load_matcha_any
+
+    back2, cfg2 = load_matcha_any(path, cfg)
+    assert_tree_equal(params, back2)
