@@ -66,10 +66,15 @@ def create_filelists(data_root, val_fraction: float = 0.05):
         if len(parts) >= 2:
             wav = str(data_root / "wavs" / f"{parts[0]}.wav")
             lines.append("|".join([wav] + parts[1:]) + "\n")
-    num_val = int(len(lines) * val_fraction)
+    # NOTE: the reference computes train = lines[:-num_val]
+    # (train_standalone.py:737-739), which silently produces an EMPTY train
+    # list when num_val rounds to 0; clamp to at least one val item and
+    # split with explicit indices instead.
+    num_val = max(1, int(len(lines) * val_fraction))
+    n_train = max(1, len(lines) - num_val)
     train_path, val_path = data_root / "train.txt", data_root / "val.txt"
-    train_path.write_text("".join(lines[:-num_val]), encoding="utf-8")
-    val_path.write_text("".join(lines[-num_val:]), encoding="utf-8")
+    train_path.write_text("".join(lines[:n_train]), encoding="utf-8")
+    val_path.write_text("".join(lines[n_train:]) or lines[-1], encoding="utf-8")
     return str(train_path), str(val_path)
 
 

@@ -163,6 +163,8 @@ def fit(
     if mesh is not None:
         state = pmesh.replicate(mesh, state)
 
+    if len(train_ds) == 0:
+        raise ValueError(f"empty training filelist: {train_filelist}")
     steps_per_epoch = max(1, len(train_ds) // train_cfg.batch_size)
     total_steps = max_steps or steps_per_epoch * train_cfg.max_epochs
 
