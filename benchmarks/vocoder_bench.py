@@ -1,0 +1,98 @@
+"""Vocoder-only benchmark: batch mel -> wav (+ denoiser) — BASELINE config 2.
+
+Measures HiFi-GAN generator throughput (audio-seconds per second) and the
+denoiser pass, using the chained-iteration method (docs/RESULTS.md).
+
+Usage: python benchmarks/vocoder_bench.py [--batch 1] [--frames 768]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CHAIN = 8
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--frames", type=int, default=768)
+    p.add_argument("--denoise", type=float, default=0.00025,
+                   help="denoiser strength (reference notebooks use 0.00025)")
+    args = p.parse_args(argv)
+
+    from matcha_tts_tpu.config import HiFiGANConfig
+    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.models.denoiser import denoise, make_denoiser
+
+    hcfg = HiFiGANConfig()
+    vp = hifigan.init_generator(jax.random.PRNGKey(0), hcfg)
+    state = make_denoiser(vp, hcfg)
+
+    b, t = args.batch, args.frames
+    rng = np.random.default_rng(0)
+    mel0 = jnp.asarray(rng.standard_normal((b, t, hcfg.num_mels))
+                       .astype(np.float32))
+    sr = hcfg.sampling_rate
+    audio_sec = b * t * hcfg.total_upsample / sr
+
+    @jax.jit
+    def voc_chain(key):
+        def body(i, carry):
+            acc, key = carry
+            key = jax.random.fold_in(key, i)
+            noise = jax.random.normal(key, mel0.shape, jnp.float32) * 0.01
+            wav = hifigan.generator(vp, mel0 + noise, hcfg)
+            return acc + jnp.sum(wav), key
+        acc, _ = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0), key))
+        return acc
+
+    bias = state.bias_spec
+
+    @jax.jit
+    def voc_denoise_chain(key):
+        def body(i, carry):
+            acc, key = carry
+            key = jax.random.fold_in(key, i)
+            noise = jax.random.normal(key, mel0.shape, jnp.float32) * 0.01
+            wav = hifigan.generator(vp, mel0 + noise, hcfg)
+            den = denoise(state, wav, strength=args.denoise)
+            return acc + jnp.sum(den), key
+        acc, _ = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0), key))
+        return acc
+
+    def timed(f):
+        float(f(jax.random.PRNGKey(0)))
+        ts = []
+        for s in range(1, 4):
+            t0 = time.perf_counter()
+            float(f(jax.random.PRNGKey(s)))
+            ts.append((time.perf_counter() - t0) / CHAIN)
+        return float(np.median(ts))
+
+    t_voc = timed(voc_chain)
+    t_den = timed(voc_denoise_chain)
+    rec = {
+        "metric": "vocoder_audio_sec_per_sec",
+        "batch": b, "frames": t, "audio_sec": audio_sec,
+        "vocoder_ms": t_voc * 1e3,
+        "vocoder_audio_sec_per_sec": audio_sec / t_voc,
+        "vocoder_plus_denoiser_ms": t_den * 1e3,
+        "denoiser_overhead_ms": (t_den - t_voc) * 1e3,
+    }
+    print(json.dumps(rec))
+    return rec
+
+
+if __name__ == "__main__":
+    main()

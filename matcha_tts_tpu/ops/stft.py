@@ -36,11 +36,21 @@ def hann_window(win_length: int) -> np.ndarray:
 def frame_signal(y: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
     """(..., L) -> (..., n_frames, n_fft) sliding frames, center=False.
 
-    n_frames = 1 + (L - n_fft) // hop.  Implemented as a strided gather,
-    which XLA lowers to an efficient dynamic-slice loop; static shapes only.
-    """
+    n_frames = 1 + (L - n_fft) // hop.  When hop divides n_fft (all the
+    reference configurations: 1024/256), framing is R = n_fft/hop shifted
+    views of the (L/hop, hop) reshape concatenated on the last axis — pure
+    slices, no gather."""
     length = y.shape[-1]
     n_frames = 1 + (length - n_fft) // hop_length
+    if n_fft % hop_length == 0:
+        r = n_fft // hop_length
+        n_blocks = length // hop_length
+        blocks = y[..., : n_blocks * hop_length].reshape(
+            y.shape[:-1] + (n_blocks, hop_length)
+        )
+        # frame t = blocks[t : t + r] concatenated
+        parts = [blocks[..., c : c + n_frames, :] for c in range(r)]
+        return jnp.concatenate(parts, axis=-1)
     idx = (
         np.arange(n_frames, dtype=np.int32)[:, None] * hop_length
         + np.arange(n_fft, dtype=np.int32)[None, :]
@@ -136,20 +146,38 @@ def istft(
 
     n_frames = frames.shape[-2]
     out_len = n_fft + hop_length * (n_frames - 1)
-
-    # Overlap-add via scatter-add of each frame at offset t*hop.
-    idx = (
-        np.arange(n_frames, dtype=np.int32)[:, None] * hop_length
-        + np.arange(n_fft, dtype=np.int32)[None, :]
-    ).reshape(-1)
     batch_shape = frames.shape[:-2]
-    flat = frames.reshape(batch_shape + (-1,))
-    signal = jnp.zeros(batch_shape + (out_len,), dtype=frames.dtype)
-    signal = signal.at[..., jnp.asarray(idx)].add(flat)
 
-    wsq = jnp.tile(window * window, (n_frames,))
-    norm = jnp.zeros(out_len, dtype=frames.dtype).at[jnp.asarray(idx)].add(wsq)
-    signal = signal / jnp.maximum(norm, 1e-11)
+    if n_fft % hop_length == 0:
+        # Overlap-add as R = n_fft/hop shifted block-sums — pure reshapes
+        # and adds (the scatter-add formulation costs as much as the whole
+        # vocoder on TPU).
+        r = n_fft // hop_length
+        n_blocks = out_len // hop_length  # = n_frames - 1 + r
+        fb = frames.reshape(batch_shape + (n_frames, r, hop_length))
+        signal = jnp.zeros(batch_shape + (n_blocks, hop_length), frames.dtype)
+        for c in range(r):
+            signal = signal.at[..., c : c + n_frames, :].add(fb[..., :, c, :])
+        signal = signal.reshape(batch_shape + (out_len,))
+
+        # window-square normalization via the same block structure (host
+        # NumPy: depends only on static shapes)
+        wsq = np.asarray(window * window, np.float64)
+        norm = np.zeros(out_len)
+        for t in range(n_frames):
+            norm[t * hop_length : t * hop_length + n_fft] += wsq
+        signal = signal / jnp.asarray(np.maximum(norm, 1e-11), frames.dtype)
+    else:
+        idx = (
+            np.arange(n_frames, dtype=np.int32)[:, None] * hop_length
+            + np.arange(n_fft, dtype=np.int32)[None, :]
+        ).reshape(-1)
+        flat = frames.reshape(batch_shape + (-1,))
+        signal = jnp.zeros(batch_shape + (out_len,), dtype=frames.dtype)
+        signal = signal.at[..., jnp.asarray(idx)].add(flat)
+        wsq = jnp.tile(window * window, (n_frames,))
+        norm = jnp.zeros(out_len, dtype=frames.dtype).at[jnp.asarray(idx)].add(wsq)
+        signal = signal / jnp.maximum(norm, 1e-11)
 
     trim = n_fft // 2  # undo center padding
     signal = signal[..., trim : out_len - trim]
