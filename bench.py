@@ -6,8 +6,9 @@ Prints ONE JSON line:
 
 Baseline: the reference measures mean e2e RTF 0.0173 (57.8x realtime) on a
 CUDA GPU over 10 LJSpeech validation sentences at NFE=10, temperature
-0.667, batch 1, including HiFi-GAN + denoiser
-(/root/reference/MOS_audiou_generator.ipynb cell 12; BASELINE.md).
+0.667, batch 1, including HiFi-GAN + denoiser at strength 0.00025
+(/root/reference/MOS_audiou_generator.ipynb cell 12; BASELINE.md) — this
+benchmark includes the denoiser in-graph at the same strength.
 vs_baseline > 1 means we are faster than the reference.
 
 Weights are randomly initialized (no trained checkpoint is shippable
@@ -60,7 +61,10 @@ def main():
     hcfg = HiFiGANConfig()
     matcha_params = init_matcha(jax.random.PRNGKey(0), cfg)
     vocoder_params = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
-    syn = Synthesizer(matcha_params, cfg, vocoder_params, hcfg)
+    # denoiser at the reference notebooks' strength so the measurement
+    # matches the baseline's conditions (text -> HiFi-GAN -> denoiser)
+    syn = Synthesizer(matcha_params, cfg, vocoder_params, hcfg,
+                      denoise_strength=0.00025)
 
     sr = cfg.audio.sample_rate
 

@@ -67,7 +67,8 @@ def _synthesize_to_wav(
 @functools.partial(jax.jit, static_argnames=("matcha_cfg", "hifi_cfg",
                                              "n_timesteps", "t_y_max",
                                              "temperature", "length_scale",
-                                             "compute_dtype"))
+                                             "compute_dtype",
+                                             "denoise_strength"))
 def _synthesize_packed(
     matcha_params,
     vocoder_params,
@@ -82,6 +83,8 @@ def _synthesize_packed(
     length_scale: float,
     spks=None,
     compute_dtype: str = "float32",
+    bias_spec=None,
+    denoise_strength: float = 0.0,
 ):
     """Fused graph whose primary output is ONE flat int16 buffer:
     [pcm16 (B*T_wav) | y_lengths (B)].
@@ -90,12 +93,26 @@ def _synthesize_packed(
     tens of ms of latency regardless of size, so the audio (already
     destined for 16-bit PCM) and the valid lengths ship in a single
     transfer; mel/attention stay on device for lazy diagnostic access.
+
+    With `denoise_strength > 0` the WaveGlow-style spectral denoiser runs
+    in the same graph (the reference notebooks use strength 0.00025).
     """
     out, wav = _synthesize_to_wav.__wrapped__(
         matcha_params, vocoder_params, key, x, x_lengths, matcha_cfg,
         hifi_cfg, n_timesteps, t_y_max, temperature, length_scale, spks,
         compute_dtype,
     )
+    if denoise_strength > 0.0 and bias_spec is not None:
+        from matcha_tts_tpu.models.denoiser import DenoiserState
+        from matcha_tts_tpu.models.denoiser import denoise as _denoise
+
+        n = wav.shape[-1]
+        state = DenoiserState(bias_spec)
+        den = _denoise(state, wav, strength=denoise_strength)
+        cur = den.shape[-1]
+        if cur < n:
+            den = jnp.pad(den, ((0, 0), (0, n - cur)))
+        wav = jnp.clip(den[..., :n], -1.0, 1.0)
     pcm = jnp.round(wav * 32767.0).astype(jnp.int16)
     packed = jnp.concatenate(
         [pcm.reshape(-1), out.y_lengths.astype(jnp.int16)]
@@ -163,6 +180,7 @@ class Synthesizer:
         text_buckets: Sequence[int] = DEFAULT_TEXT_BUCKETS,
         frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
         compute_dtype: str = "float32",
+        denoise_strength: float = 0.0,
     ):
         self.matcha_params = matcha_params
         self.matcha_cfg = matcha_cfg
@@ -171,6 +189,13 @@ class Synthesizer:
         self.text_buckets = tuple(text_buckets)
         self.frame_buckets = tuple(frame_buckets)
         self.compute_dtype = compute_dtype
+        self.denoise_strength = float(denoise_strength)
+        self._bias_spec = None
+        if self.denoise_strength > 0.0 and vocoder_params is not None:
+            from matcha_tts_tpu.models.denoiser import make_denoiser
+
+            self._bias_spec = make_denoiser(vocoder_params,
+                                            self.hifi_cfg).bias_spec
 
     # -- bucketing ---------------------------------------------------------
 
@@ -264,6 +289,8 @@ class Synthesizer:
                 self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
                 temperature, length_scale, spks=spks,
                 compute_dtype=self.compute_dtype,
+                bias_spec=self._bias_spec,
+                denoise_strength=self.denoise_strength,
             )
             result = LazySynthesisResult(packed, out, row=0, batch=1,
                                          t_wav=t_y * hop, hop=hop)

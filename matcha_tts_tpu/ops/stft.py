@@ -161,8 +161,13 @@ def istft(
         signal = signal.reshape(batch_shape + (out_len,))
 
         # window-square normalization via the same block structure (host
-        # NumPy: depends only on static shapes)
-        wsq = np.asarray(window * window, np.float64)
+        # NumPy: depends only on static shapes — rebuild the window on host
+        # rather than converting the traced device window)
+        w_host = hann_window(win_length).astype(np.float64)
+        if win_length < n_fft:
+            lpad = (n_fft - win_length) // 2
+            w_host = np.pad(w_host, (lpad, n_fft - win_length - lpad))
+        wsq = w_host * w_host
         norm = np.zeros(out_len)
         for t in range(n_frames):
             norm[t * hop_length : t * hop_length + n_fft] += wsq

@@ -174,3 +174,18 @@ def test_multispeaker_inference():
     # same speaker row identical; different speaker row differs
     np.testing.assert_allclose(m0[0], m1[0], atol=1e-5)
     assert np.abs(m0[1] - m1[1]).max() > 1e-4
+
+
+def test_synthesizer_with_denoiser():
+    cfg, hcfg, mp, vp = tiny_models()
+    syn = Synthesizer(mp, cfg, vp, hcfg, text_buckets=(32,),
+                      frame_buckets=(64,), denoise_strength=0.00025)
+    r = syn.synthesize("Hello world.", n_timesteps=2, seed=1)
+    assert len(r.wav) > 0 and np.isfinite(r.wav).all()
+    assert np.abs(r.wav).max() <= 1.0
+    # near-identity at tiny strength: close to non-denoised output
+    syn0 = Synthesizer(mp, cfg, vp, hcfg, text_buckets=(32,),
+                       frame_buckets=(64,))
+    r0 = syn0.synthesize("Hello world.", n_timesteps=2, seed=1)
+    n = min(len(r.wav), len(r0.wav))
+    assert np.abs(r.wav[256:n-256] - r0.wav[256:n-256]).max() < 0.05
