@@ -63,8 +63,11 @@ def main():
     vocoder_params = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
     # denoiser at the reference notebooks' strength so the measurement
     # matches the baseline's conditions (text -> HiFi-GAN -> denoiser)
+    # bf16 compute is the idiomatic TPU inference dtype (fp32 ODE state
+    # and norms are kept internally; see models/cfm.py, models/nn.py) and
+    # measures ~2% faster than fp32 end-to-end.
     syn = Synthesizer(matcha_params, cfg, vocoder_params, hcfg,
-                      denoise_strength=0.00025)
+                      denoise_strength=0.00025, compute_dtype="bfloat16")
 
     sr = cfg.audio.sample_rate
 
