@@ -94,7 +94,7 @@ def main():
     rtfs = []
     for i, s in enumerate(SENTENCES):
         best = None
-        for rep in range(2):
+        for rep in range(3):
             t0 = time.perf_counter()
             r = syn.synthesize(s, n_timesteps=10, temperature=0.667,
                                seed=i + rep * 1000,
