@@ -319,6 +319,32 @@ class Synthesizer:
             parts.extend(s for s in sentences if s)
         return parts
 
+    def stream(self, text: str, n_timesteps: int = 10,
+               temperature: float = 0.667, length_scale: float = 1.0,
+               seed: int = 0, lookahead: int = 1):
+        """Incremental synthesis: yields (chunk_text, wav) per sentence.
+
+        Time-to-first-audio is one chunk's latency instead of the whole
+        utterance's; `lookahead` extra chunks are dispatched ahead of the
+        consumer so playback-rate consumers stay fed.
+        """
+        chunks = self.split_text(text)
+        pending = []  # (chunk_text, LazySynthesisResult)
+
+        def launch(i, chunk):
+            ids = self.tokenize(chunk)
+            return self.synthesize_tokens(ids, n_timesteps, temperature,
+                                          length_scale, seed + i)
+
+        for i, chunk in enumerate(chunks):
+            pending.append((chunk, launch(i, chunk)))
+            # keep `lookahead + 1` chunks in flight before draining
+            while len(pending) > lookahead:
+                done_text, res = pending.pop(0)
+                yield done_text, res.wav
+        for done_text, res in pending:
+            yield done_text, res.wav
+
     def synthesize_long(self, text: str, silence_ms: float = 100.0,
                         crossfade_ms: float = 0.0, mesh=None,
                         **kw) -> SynthesisResult:

@@ -189,3 +189,18 @@ def test_synthesizer_with_denoiser():
     r0 = syn0.synthesize("Hello world.", n_timesteps=2, seed=1)
     n = min(len(r.wav), len(r0.wav))
     assert np.abs(r.wav[256:n-256] - r0.wav[256:n-256]).max() < 0.05
+
+
+def test_streaming_synthesis():
+    cfg, hcfg, mp, vp = tiny_models()
+    syn = Synthesizer(mp, cfg, vp, hcfg,
+                      text_buckets=(32,), frame_buckets=(64,))
+    text = "First one. Second two! Third three?"
+    got = list(syn.stream(text, n_timesteps=2))
+    assert len(got) == 3
+    assert got[0][0] == "First one."
+    for chunk_text, wav in got:
+        assert len(wav) > 0 and np.isfinite(wav).all()
+    # streamed chunks match one-shot synthesis of the same chunk/seed
+    r0 = syn.synthesize("First one.", n_timesteps=2, seed=0)
+    np.testing.assert_array_equal(got[0][1], r0.wav)
