@@ -71,3 +71,27 @@ def test_prefers_high_likelihood_diagonal():
     path = np.asarray(maximum_path(neg_cent, mask))
     idx = path[0].argmax(axis=0)
     np.testing.assert_array_equal(idx, np.repeat(np.arange(t), 2))
+
+
+def test_matches_scalar_reference_large():
+    """Realistic training sizes (T_x=192, T_y=768): band logic and
+    backtrack at scale."""
+    rng = np.random.default_rng(7)
+    b, tx, ty = 2, 192, 768
+    # Gaussian-log-prior-like magnitudes (very negative, structured)
+    pos_x = np.linspace(0, 1, tx)[None, :, None]
+    pos_y = np.linspace(0, 1, ty)[None, None, :]
+    neg_cent = (-200.0 * np.square(pos_x - pos_y)
+                + rng.standard_normal((b, tx, ty)) * 2.0 - 40.0
+                ).astype(np.float32)
+    t_xs = np.array([192, 150])
+    t_ys = np.array([768, 500])
+    x_mask = np.asarray(sequence_mask(t_xs, tx)).astype(np.float32)
+    y_mask = np.asarray(sequence_mask(t_ys, ty)).astype(np.float32)
+    mask = x_mask[:, :, None] * y_mask[:, None, :]
+    ours = np.asarray(maximum_path(neg_cent, mask))
+    ref = maximum_path_numpy(neg_cent, mask)
+    np.testing.assert_array_equal(ours, ref)
+    # diagonal prior should produce a roughly diagonal path
+    idx = ours[0].argmax(axis=0)
+    assert idx[0] < 10 and idx[-1] == t_xs[0] - 1
