@@ -65,6 +65,12 @@ def main(argv=None):
 
     import jax
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
     from matcha_tts_tpu.inference.synthesizer import Synthesizer
     from matcha_tts_tpu.models import hifigan
