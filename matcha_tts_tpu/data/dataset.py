@@ -134,6 +134,47 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+class PrefetchIterator:
+    """Background-thread prefetch over an iterable of host batches.
+
+    The reference hides host work behind 8 DataLoader worker processes
+    (train_standalone.py:546-554); here one thread with a small queue is
+    enough because featurization happens on device — only WAV reads and
+    numpy padding stay on host.  Exceptions re-raise in the consumer.
+    """
+
+    def __init__(self, iterable, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._err = None
+
+        def worker():
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as e:  # noqa: BLE001 - reraised below
+                self._err = e
+            finally:
+                self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._sentinel:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
 class BucketBatcher:
     """Yields fixed-shape numpy batches: token ids padded to a text bucket,
     raw audio padded to `frame_bucket * hop` samples, plus true lengths.

@@ -13,7 +13,8 @@ import jax
 import numpy as np
 
 from matcha_tts_tpu.config import MatchaConfig, TrainConfig, config_to_dict
-from matcha_tts_tpu.data.dataset import BucketBatcher, TextMelDataset
+from matcha_tts_tpu.data.dataset import (BucketBatcher, PrefetchIterator,
+                                          TextMelDataset)
 from matcha_tts_tpu.models.matcha import init_matcha
 from matcha_tts_tpu.ops.stft import log_mel_spectrogram, normalize_mel
 from matcha_tts_tpu.parallel import mesh as pmesh
@@ -171,7 +172,9 @@ def fit(
     step = int(state.step)
     t0 = time.time()
     while step < total_steps:
-        for raw in train_batches:
+        # background thread overlaps host WAV loading/padding with the
+        # device step (the reference uses 8 DataLoader worker processes)
+        for raw in PrefetchIterator(iter(train_batches), depth=2):
             if step >= total_steps:
                 break
             if mesh is not None:

@@ -92,3 +92,20 @@ def test_fit_two_steps_and_resume(synth_dataset, tmp_path):
     # resume continues from step 2
     state2 = fit(cfg, tcfg, train_fl, val_fl, work_dir=str(work), max_steps=3)
     assert int(state2.step) == 3
+
+
+def test_prefetch_iterator():
+    from matcha_tts_tpu.data.dataset import PrefetchIterator
+
+    items = list(PrefetchIterator(iter(range(7)), depth=2))
+    assert items == list(range(7))
+
+    def boom():
+        yield 1
+        raise RuntimeError("io error")
+
+    it = PrefetchIterator(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        for _ in it:
+            pass
