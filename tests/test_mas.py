@@ -95,3 +95,21 @@ def test_matches_scalar_reference_large():
     # diagonal prior should produce a roughly diagonal path
     idx = ours[0].argmax(axis=0)
     assert idx[0] < 10 and idx[-1] == t_xs[0] - 1
+
+
+def test_generate_path_matches_manual():
+    """generate_path (model.py:64-76 semantics): token x covers frames
+    [cumdur[x-1], cumdur[x])."""
+    from matcha_tts_tpu.ops.masking import generate_path
+
+    dur = np.array([[2, 0, 3, 1], [1, 1, 1, 1]], np.float32)
+    t_y = 8
+    mask = np.ones((2, 4, t_y), np.float32)
+    path = np.asarray(generate_path(dur, mask))
+    expected0 = np.zeros((4, t_y))
+    expected0[0, 0:2] = 1   # dur 2
+    # token 1 has dur 0 -> no frames
+    expected0[2, 2:5] = 1   # dur 3
+    expected0[3, 5:6] = 1   # dur 1
+    np.testing.assert_array_equal(path[0], expected0)
+    np.testing.assert_array_equal(path[1, :, :4], np.eye(4))
