@@ -29,7 +29,10 @@ from matcha_tts_tpu.models.matcha import encode_only, synthesize
 from matcha_tts_tpu.text.tokenizer import encode_text
 
 DEFAULT_TEXT_BUCKETS = (64, 128, 192, 256, 384, 512)
-DEFAULT_FRAME_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048)
+# Fine-grained in the common speech range (1.5-12 s) so padded compute and
+# device->host transfer track the true length; coarser above.
+DEFAULT_FRAME_BUCKETS = (128, 192, 256, 320, 384, 448, 512, 576, 640, 704,
+                         768, 832, 896, 1024, 1152, 1280, 1536, 2048)
 
 
 @functools.partial(jax.jit, static_argnames=("matcha_cfg", "hifi_cfg",
