@@ -105,6 +105,9 @@ def main():
             if audio_sec > 0:
                 rtf = dt / audio_sec
                 best = rtf if best is None else min(best, rtf)
+                print(f"  sent {i} rep {rep}: {dt*1e3:.1f} ms / "
+                      f"{audio_sec:.2f} s -> rtf {rtf:.5f}",
+                      file=sys.stderr)
         if best is not None:
             rtfs.append(best)
 
