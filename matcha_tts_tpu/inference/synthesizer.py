@@ -348,6 +348,50 @@ class Synthesizer:
         for done_text, res in pending:
             yield done_text, res.wav
 
+    def stream_samples(self, text: str, chunk_frames: int = 64,
+                       n_timesteps: int = 10, temperature: float = 0.667,
+                       length_scale: float = 1.0, seed: int = 0,
+                       spk: Optional[int] = None):
+        """Sample-level streaming: yields float32 wav chunks of
+        `chunk_frames * hop` samples (~0.74 s at the default 64) as each
+        sentence's mel is vocoded incrementally by `StreamingVocoder`.
+
+        Compared with `stream()` (per-sentence granularity), time-to-first-
+        audio drops to one acoustic pass + one vocoder *window* instead of
+        one full fused pass, and long sentences never materialize their
+        whole waveform on device.  Output is exactly equal to the
+        non-streaming vocoder pass (see inference/streaming.py).
+        """
+        from matcha_tts_tpu.inference.streaming import StreamingVocoder
+        from matcha_tts_tpu.models.matcha import synthesize as _acoustic
+
+        sv = getattr(self, "_stream_vocoder", None)
+        if sv is None or sv.chunk != chunk_frames:
+            sv = StreamingVocoder(self.vocoder_params, self.hifi_cfg,
+                                  chunk_frames,
+                                  compute_dtype=self.compute_dtype)
+            self._stream_vocoder = sv
+
+        spks = np.asarray([spk], np.int32) if spk is not None else None
+        for i, sentence in enumerate(self.split_text(text)):
+            ids = self.tokenize(sentence)
+            t_x = self._bucket(len(ids), self.text_buckets)
+            ids = ids[:t_x]
+            x = np.zeros((1, t_x), np.int32)
+            x[0, : len(ids)] = ids
+            x_lengths = np.asarray([len(ids)], np.int32)
+            x, x_lengths = jnp.asarray(x), jnp.asarray(x_lengths)
+            t_y = self.predict_frame_bucket(x, x_lengths, length_scale, spks)
+            out = _acoustic(self.matcha_params, jax.random.PRNGKey(seed + i),
+                            x, x_lengths, self.matcha_cfg,
+                            n_timesteps=n_timesteps, t_y_max=t_y,
+                            temperature=temperature,
+                            length_scale=length_scale, spks=spks,
+                            compute_dtype=self.compute_dtype)
+            y_len = int(np.asarray(out.y_lengths)[0])
+            mel = np.asarray(out.mel)[0, :, :y_len].T  # (T_valid, n_mels)
+            yield from sv.stream(mel)
+
     def synthesize_long(self, text: str, silence_ms: float = 100.0,
                         crossfade_ms: float = 0.0, mesh=None,
                         **kw) -> SynthesisResult:

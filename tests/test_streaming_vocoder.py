@@ -1,0 +1,130 @@
+"""Streaming vocoder: exact equivalence with the full-utterance pass.
+
+The reference has no streaming vocoder (whole-utterance pass only,
+hifigan/models.py:181-197); this is new TPU-native capability.  The
+contract under test: concatenated stream chunks == one full generator
+pass, bit-for-bit up to float tolerance, for every boundary case.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matcha_tts_tpu.config import HiFiGANConfig
+from matcha_tts_tpu.inference.streaming import (StreamingVocoder,
+                                                receptive_radius_frames)
+from matcha_tts_tpu.models import hifigan
+
+
+def small_cfg():
+    return HiFiGANConfig(
+        upsample_rates=(8, 2),
+        upsample_kernel_sizes=(16, 4),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+        num_mels=8,
+    )
+
+
+def _full(params, mel, cfg):
+    wav = hifigan.generator(params, jnp.asarray(mel[None]), cfg)[0]
+    return np.clip(np.asarray(wav), -1.0, 1.0)
+
+
+def test_radius_v1_config():
+    assert receptive_radius_frames(HiFiGANConfig()) == 13
+
+
+def test_radius_bounds_actual_receptive_field():
+    """Perturbing one mel frame must not change wav outside radius*hop."""
+    cfg = small_cfg()
+    r = receptive_radius_frames(cfg)
+    p = hifigan.init_generator(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    t = 64
+    mel = rng.standard_normal((t, cfg.num_mels), dtype=np.float32)
+    base = _full(p, mel, cfg)
+    mel2 = mel.copy()
+    mel2[t // 2] += 1.0
+    pert = _full(p, mel2, cfg)
+    diff = np.abs(base - pert) > 1e-7
+    hop = cfg.total_upsample
+    lo, hi = (t // 2 - r) * hop, (t // 2 + 1 + r) * hop
+    assert not diff[:lo].any() and not diff[hi:].any()
+
+
+def test_stream_matches_full_pass():
+    cfg = small_cfg()
+    p = hifigan.init_generator(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    sv = StreamingVocoder(p, cfg, chunk_frames=16)
+    hop = cfg.total_upsample
+    # covers: chunk-divides-T, partial tail, T smaller than one window,
+    # T between one chunk and one window, chunk smaller than radius
+    for t in (96, 90, 10, 40):
+        mel = rng.standard_normal((t, cfg.num_mels), dtype=np.float32)
+        chunks = list(sv.stream(mel))
+        assert all(len(c) == 16 * hop for c in chunks[:-1])
+        got = np.concatenate(chunks)
+        want = _full(p, mel, cfg)
+        assert got.shape == want.shape == (t * hop,)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    # tiny chunk < radius
+    sv2 = StreamingVocoder(p, cfg, chunk_frames=4)
+    mel = rng.standard_normal((50, cfg.num_mels), dtype=np.float32)
+    np.testing.assert_allclose(np.concatenate(list(sv2.stream(mel))),
+                               _full(p, mel, cfg), atol=1e-6)
+
+
+def test_stream_empty_and_validation():
+    cfg = small_cfg()
+    p = hifigan.init_generator(jax.random.PRNGKey(2), cfg)
+    sv = StreamingVocoder(p, cfg)
+    assert list(sv.stream(np.zeros((0, cfg.num_mels), np.float32))) == []
+    assert sv.vocode(np.zeros((0, cfg.num_mels), np.float32)).shape == (0,)
+    try:
+        list(sv.stream(np.zeros((4, cfg.num_mels + 1), np.float32)))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_synthesizer_stream_samples():
+    """End-to-end: Synthesizer.stream_samples yields chunks whose
+    concatenation matches the mel length."""
+    from matcha_tts_tpu.config import (AudioConfig, DecoderConfig,
+                                       DurationPredictorConfig, EncoderConfig,
+                                       MatchaConfig)
+    from matcha_tts_tpu.inference.synthesizer import Synthesizer
+    from matcha_tts_tpu.models.matcha import init_matcha
+
+    cfg = MatchaConfig(
+        encoder=EncoderConfig(n_feats=8, n_channels=32, filter_channels=64,
+                              n_heads=2, n_layers=1, p_dropout=0.0),
+        duration_predictor=DurationPredictorConfig(filter_channels_dp=32),
+        decoder=DecoderConfig(channels=(16, 16), attention_head_dim=8,
+                              num_heads=2, n_blocks=1, num_mid_blocks=1),
+        audio=AudioConfig(n_mels=8, hop_length=16),
+    )
+    hcfg = HiFiGANConfig(
+        upsample_rates=(8, 2),
+        upsample_kernel_sizes=(16, 4),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+        num_mels=8,
+    )
+    key = jax.random.PRNGKey(0)
+    mp = init_matcha(key, cfg)
+    vp = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
+    syn = Synthesizer(mp, cfg, vp, hcfg,
+                      text_buckets=(32, 64), frame_buckets=(32, 64, 128))
+    hop = hcfg.total_upsample
+    chunks = list(syn.stream_samples("Hello there. Bye.", chunk_frames=8,
+                                     n_timesteps=2))
+    assert len(chunks) >= 2
+    total = sum(len(c) for c in chunks)
+    assert total % hop == 0 and total > 0
+    for c in chunks:
+        assert c.dtype == np.float32 and np.isfinite(c).all()
