@@ -284,7 +284,10 @@ class Synthesizer:
             )
 
         hop = self.matcha_cfg.audio.hop_length
-        assert self.hifi_cfg.total_upsample == hop
+        if self.hifi_cfg.total_upsample != hop:
+            raise ValueError(
+                f"vocoder upsampling x{self.hifi_cfg.total_upsample} must "
+                f"equal the mel hop length {hop} (wav samples per frame)")
         key = jax.random.PRNGKey(seed)
         while True:
             packed, out = _synthesize_packed(

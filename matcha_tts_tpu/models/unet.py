@@ -170,20 +170,22 @@ def block1d(params, x, mask, *, groups: int = 8, use_pallas: bool = False):
     """Conv(k=3) -> GroupNorm(8) -> Mish, masked in/out (model.py:764-775).
 
     With `use_pallas`, shapes permitting, the whole block runs as one
-    fused VMEM-resident Pallas kernel (ops/pallas/block1d.py)."""
+    fused VMEM-resident Pallas kernel (ops/pallas/block1d.py) — including
+    under `jax.grad` via its rematerializing custom VJP."""
     m = mask[..., None]
     if use_pallas:
         from matcha_tts_tpu.ops.pallas.block1d import (
-            block1d_fused,
+            block1d_fused_vjp,
             block1d_pallas_ok,
         )
 
         t, c_in = x.shape[1], x.shape[2]
         c_out = params["conv"]["weight"].shape[-1]
         if block1d_pallas_ok(t, c_in, c_out):
-            h = block1d_fused(x * m, params["conv"]["weight"],
-                              params["conv"]["bias"], params["norm"]["gamma"],
-                              params["norm"]["beta"], groups=groups)
+            h = block1d_fused_vjp(x * m, params["conv"]["weight"],
+                                  params["conv"]["bias"],
+                                  params["norm"]["gamma"],
+                                  params["norm"]["beta"], groups)
             return h * m
     h = nn.conv1d(params["conv"], x * m, padding=1)
     h = nn.group_norm(params["norm"], h, groups)

@@ -122,6 +122,51 @@ def block1d_fused(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
       beta.reshape(1, -1))
 
 
+def _block1d_reference(x, weight, bias, gamma, beta, groups: int, eps: float):
+    """Plain-XLA composition with the kernel's exact math (conv k=3 'same'
+    -> GroupNorm incl. padded frames -> Mish); used to derive gradients."""
+    from matcha_tts_tpu.models import nn
+
+    h = nn.conv1d({"weight": weight, "bias": bias}, x, padding=1)
+    h = nn.group_norm({"gamma": gamma, "beta": beta}, h, groups, eps=eps)
+    return nn.mish(h)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def block1d_fused_vjp(x, weight, bias, gamma, beta, groups: int = 8,
+                      eps: float = 1e-5, interpret: bool = False):
+    """Differentiable fused Block1D: Pallas forward + rematerializing VJP.
+
+    The backward saves only the five inputs and re-derives gradients from
+    the XLA reference composition (one extra forward in bwd — the same
+    FLOPs-for-memory trade as `jax.checkpoint`, so the fused kernel's
+    conv output and norm statistics never persist to HBM between passes).
+    Forward == `block1d_fused` (fp32-exact vs XLA, module docstring);
+    gradients == gradients of the XLA composition.
+    """
+    return block1d_fused(x, weight, bias, gamma, beta, groups=groups,
+                         eps=eps, interpret=interpret)
+
+
+def _block1d_vjp_fwd(x, weight, bias, gamma, beta, groups, eps, interpret):
+    out = block1d_fused(x, weight, bias, gamma, beta, groups=groups, eps=eps,
+                        interpret=interpret)
+    return out, (x, weight, bias, gamma, beta)
+
+
+def _block1d_vjp_bwd(groups, eps, interpret, res, g):
+    del interpret
+    x, weight, bias, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda *args: _block1d_reference(*args, groups=groups, eps=eps),
+        x, weight, bias, gamma, beta,
+    )
+    return vjp(g)
+
+
+block1d_fused_vjp.defvjp(_block1d_vjp_fwd, _block1d_vjp_bwd)
+
+
 def block1d_pallas_ok(t: int, c_in: int, c_out: int) -> bool:
     """Shape gate: dims must map onto fp32 (8, 128) tiles and fit VMEM."""
     fits_vmem = t * max(c_in, c_out) * 4 * 3 < 12 * 1024 * 1024
