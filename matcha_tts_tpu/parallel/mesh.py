@@ -37,9 +37,41 @@ def make_mesh_2d(dp: int, mp: int) -> Mesh:
     return Mesh(devices, ("data", "model"))
 
 
+def make_multislice_mesh(n_slices: int,
+                         per_slice: Optional[int] = None) -> Mesh:
+    """("dcn", "data") mesh for data parallelism across pod slices.
+
+    Gradient all-reduce decomposes into a fast ICI reduce within each
+    slice ("data" axis, the minor/contiguous mesh dim) plus a DCN
+    all-reduce of one partial per slice ("dcn" axis) — XLA derives both
+    from the sharding; no user collectives (SURVEY.md §5, scaling-book
+    multi-slice recipe).  On real multi-slice runtimes the device grid
+    comes from `mesh_utils.create_hybrid_device_mesh` (DCN-aware
+    ordering); elsewhere (CPU simulation, single slice) devices are
+    reshaped in enumeration order, which keeps intra-slice groups
+    contiguous.
+    """
+    devices = jax.devices()
+    if per_slice is None:
+        per_slice = len(devices) // n_slices
+    try:
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (1, per_slice), (n_slices, 1),
+            devices=devices[: n_slices * per_slice])
+    except Exception:
+        grid = np.asarray(devices[: n_slices * per_slice]).reshape(
+            n_slices, per_slice)
+    return Mesh(np.asarray(grid).reshape(n_slices, per_slice),
+                ("dcn", "data"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis across the data axis."""
-    return NamedSharding(mesh, P("data"))
+    """Shard the leading (batch) axis across every data-parallel axis of
+    the mesh ("dcn" and/or "data"; "model" stays replicated)."""
+    axes = tuple(a for a in mesh.axis_names if a in ("dcn", "data"))
+    return NamedSharding(mesh, P(axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -22,6 +22,7 @@ import optax
 from matcha_tts_tpu.config import AudioConfig, HiFiGANConfig
 from matcha_tts_tpu.models import hifigan
 from matcha_tts_tpu.ops.stft import log_mel_spectrogram
+from matcha_tts_tpu.train import weight_norm as wn
 
 
 class GanTrainState(NamedTuple):
@@ -40,11 +41,19 @@ def make_gan_optimizers(learning_rate: float = 2e-4, b1: float = 0.8,
     return optax.adam(sched, b1=b1, b2=b2), optax.adam(sched, b1=b1, b2=b2)
 
 
-def create_gan_state(key, hcfg: HiFiGANConfig,
-                     learning_rate: float = 2e-4) -> GanTrainState:
+def create_gan_state(key, hcfg: HiFiGANConfig, learning_rate: float = 2e-4,
+                     use_weight_norm: bool = False,
+                     gen_params=None) -> GanTrainState:
+    """`use_weight_norm=True` stores generator and discriminators in the
+    reference's (v, g) training parameterization (train/weight_norm.py);
+    pass matching `weight_norm` to the step functions.  `gen_params` seeds
+    fine-tuning from an existing (plain) generator tree."""
     kg, kp, ks = jax.random.split(key, 3)
-    gen = hifigan.init_generator(kg, hcfg)
+    gen = gen_params if gen_params is not None else hifigan.init_generator(kg, hcfg)
     disc = {"mpd": hifigan.init_mpd(kp), "msd": hifigan.init_msd(ks)}
+    if use_weight_norm:
+        gen = wn.decompose(gen)
+        disc = wn.decompose(disc)
     g_tx, d_tx = make_gan_optimizers(learning_rate)
     return GanTrainState(
         step=jnp.zeros((), jnp.int32),
@@ -68,6 +77,17 @@ def random_segment(key, audio: np.ndarray, segment_size: int,
     return audio[start : start + segment_size], start
 
 
+def _check_wn(state: GanTrainState, weight_norm: bool):
+    """Trace-time guard: the step's `weight_norm` flag must match how the
+    state was created (`create_gan_state(use_weight_norm=...)`)."""
+    actual = wn.is_weight_norm(state.gen_params)
+    if actual != weight_norm:
+        raise ValueError(
+            f"state is {'(v, g) weight-norm' if actual else 'plain'}-"
+            f"parameterized but the step was called with "
+            f"weight_norm={weight_norm}")
+
+
 def _mel(audio, acfg: AudioConfig):
     return log_mel_spectrogram(
         audio, acfg.sample_rate, acfg.n_fft, acfg.n_mels, acfg.hop_length,
@@ -75,16 +95,22 @@ def _mel(audio, acfg: AudioConfig):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("hcfg", "acfg", "lr"))
+@functools.partial(jax.jit, static_argnames=("hcfg", "acfg", "lr",
+                                             "weight_norm"))
 def gan_disc_step(state: GanTrainState, audio: jnp.ndarray,
-                  hcfg: HiFiGANConfig, acfg: AudioConfig, lr: float = 2e-4):
+                  hcfg: HiFiGANConfig, acfg: AudioConfig, lr: float = 2e-4,
+                  weight_norm: bool = False):
     """Discriminator update (LS-GAN): real audio vs generator(mel(real))."""
+    _check_wn(state, weight_norm)
+    gen_plain = wn.fold(state.gen_params) if weight_norm else state.gen_params
     mel = _mel(audio, acfg).transpose(0, 2, 1)
-    fake = hifigan.generator(state.gen_params, mel, hcfg)
+    fake = hifigan.generator(gen_plain, mel, hcfg)
     fake = jax.lax.stop_gradient(fake)
     n = min(audio.shape[-1], fake.shape[-1])
 
     def loss_fn(disc_params):
+        if weight_norm:
+            disc_params = wn.fold(disc_params)
         mpd_out = hifigan.mpd(disc_params["mpd"], audio[..., :n], fake[..., :n])
         msd_out = hifigan.msd(disc_params["msd"], audio[..., :n], fake[..., :n])
         l_mpd, _, _ = hifigan.discriminator_loss(mpd_out[0], mpd_out[1])
@@ -98,21 +124,28 @@ def gan_disc_step(state: GanTrainState, audio: jnp.ndarray,
     return state._replace(disc_params=new_disc, disc_opt=new_opt), loss
 
 
-@functools.partial(jax.jit, static_argnames=("hcfg", "acfg", "lr"))
+@functools.partial(jax.jit, static_argnames=("hcfg", "acfg", "lr",
+                                             "weight_norm"))
 def gan_gen_step(state: GanTrainState, audio: jnp.ndarray,
-                 hcfg: HiFiGANConfig, acfg: AudioConfig, lr: float = 2e-4):
+                 hcfg: HiFiGANConfig, acfg: AudioConfig, lr: float = 2e-4,
+                 weight_norm: bool = False):
     """Generator update: LS-GAN + feature matching + 45x mel L1 (the
     standard HiFi-GAN recipe the vendored losses implement)."""
+    _check_wn(state, weight_norm)
     mel_real = _mel(audio, acfg)
+    disc_plain = (wn.fold(state.disc_params) if weight_norm
+                  else state.disc_params)
 
     def loss_fn(gen_params):
+        if weight_norm:
+            gen_params = wn.fold(gen_params)
         fake = hifigan.generator(gen_params, mel_real.transpose(0, 2, 1), hcfg)
         n = min(audio.shape[-1], fake.shape[-1])
         mel_fake = _mel(fake[..., :n], acfg)
         mel_loss = jnp.mean(jnp.abs(mel_fake - mel_real[..., : mel_fake.shape[-1]]))
 
-        mpd_out = hifigan.mpd(state.disc_params["mpd"], audio[..., :n], fake[..., :n])
-        msd_out = hifigan.msd(state.disc_params["msd"], audio[..., :n], fake[..., :n])
+        mpd_out = hifigan.mpd(disc_plain["mpd"], audio[..., :n], fake[..., :n])
+        msd_out = hifigan.msd(disc_plain["msd"], audio[..., :n], fake[..., :n])
         fm = (hifigan.feature_loss(mpd_out[2], mpd_out[3])
               + hifigan.feature_loss(msd_out[2], msd_out[3]))
         adv_mpd, _ = hifigan.generator_loss(mpd_out[1])

@@ -144,3 +144,27 @@ def test_multi_speaker_path():
                         batch["x_lengths"], batch["y"], batch["y_lengths"],
                         cfg, spks=batch["spks"], train=False)
     assert np.isfinite(float(out.total))
+
+
+def test_multislice_mesh_matches_single_mesh():
+    """2x4 ("dcn", "data") mesh: batch sharded over both axes; one
+    train_step must produce the same loss as the 1-D 8-device mesh
+    (pure DP is layout-invariant)."""
+    cfg = tiny_cfg()
+    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3)
+
+    losses = {}
+    for name, mesh in (("1d", pmesh.make_mesh(8)),
+                       ("2x4", pmesh.make_multislice_mesh(2))):
+        assert mesh.devices.size == 8
+        # fresh init per run: train_step donates its input state's buffers
+        params = init_matcha(jax.random.PRNGKey(0), cfg)
+        batch = tiny_batch(np.random.default_rng(9))
+        state = create_train_state(params, tcfg)
+        state = pmesh.replicate(mesh, state)
+        sharded = pmesh.shard_batch(mesh, batch)
+        state, metrics = train_step(state, jax.random.PRNGKey(1), sharded,
+                                    cfg, tcfg)
+        losses[name] = float(metrics["loss"])
+        assert np.isfinite(losses[name])
+    np.testing.assert_allclose(losses["1d"], losses["2x4"], rtol=1e-5)
