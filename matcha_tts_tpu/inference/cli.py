@@ -23,6 +23,46 @@ import jax
 import numpy as np
 
 
+def load_models(checkpoint=None, vocoder=None, cfg=None, hcfg=None):
+    """Load (or randomly initialize) Matcha + HiFi-GAN parameter trees.
+
+    Accepts torch .ckpt/.pt checkpoints (Lightning `model.` prefix handled
+    by the converter) — shared by the inference CLI and the HTTP server.
+    Returns (matcha_params, cfg, vocoder_params, hcfg).
+    """
+    from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
+    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.models.matcha import init_matcha
+    from matcha_tts_tpu.params.convert import (
+        convert_hifigan,
+        convert_matcha,
+        load_torch_state_dict,
+    )
+
+    cfg = cfg or MatchaConfig()
+    hcfg = hcfg or HiFiGANConfig()
+
+    if checkpoint:
+        print(f"Loading Matcha checkpoint from {checkpoint} ...")
+        sd = load_torch_state_dict(checkpoint)
+        matcha_params = convert_matcha(sd, cfg)
+        if "mel_mean" in sd:
+            print(f"Found mel_mean in checkpoint: {float(sd['mel_mean'])}")
+            print(f"Found mel_std in checkpoint: {float(sd['mel_std'])}")
+    else:
+        print("No checkpoint given — using randomly initialized weights.")
+        matcha_params = init_matcha(jax.random.PRNGKey(0), cfg)
+
+    if vocoder:
+        print(f"Loading vocoder from {vocoder} ...")
+        vsd = load_torch_state_dict(vocoder)
+        vocoder_params = convert_hifigan(vsd, hcfg)
+    else:
+        print("No vocoder checkpoint — using randomly initialized HiFi-GAN.")
+        vocoder_params = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
+    return matcha_params, cfg, vocoder_params, hcfg
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Matcha-TTS (TPU) inference")
     parser.add_argument("--text", type=str,
@@ -44,40 +84,13 @@ def main(argv=None):
                         help="split on sentences/'|' and synthesize chunked")
     args = parser.parse_args(argv)
 
-    from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
     from matcha_tts_tpu.inference.synthesizer import Synthesizer
-    from matcha_tts_tpu.models import hifigan
     from matcha_tts_tpu.models.denoiser import denoise as run_denoise
     from matcha_tts_tpu.models.denoiser import make_denoiser
-    from matcha_tts_tpu.models.matcha import init_matcha
-    from matcha_tts_tpu.params.convert import (
-        convert_hifigan,
-        convert_matcha,
-        load_torch_state_dict,
-    )
     from matcha_tts_tpu.utils.wav import write_wav
 
-    cfg = MatchaConfig()
-    hcfg = HiFiGANConfig()
-
-    if args.checkpoint:
-        print(f"Loading Matcha checkpoint from {args.checkpoint} ...")
-        sd = load_torch_state_dict(args.checkpoint)
-        matcha_params = convert_matcha(sd, cfg)
-        if "mel_mean" in sd:
-            print(f"Found mel_mean in checkpoint: {float(sd['mel_mean'])}")
-            print(f"Found mel_std in checkpoint: {float(sd['mel_std'])}")
-    else:
-        print("No checkpoint given — using randomly initialized weights.")
-        matcha_params = init_matcha(jax.random.PRNGKey(0), cfg)
-
-    if args.vocoder:
-        print(f"Loading vocoder from {args.vocoder} ...")
-        vsd = load_torch_state_dict(args.vocoder)
-        vocoder_params = convert_hifigan(vsd, hcfg)
-    else:
-        print("No vocoder checkpoint — using randomly initialized HiFi-GAN.")
-        vocoder_params = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
+    matcha_params, cfg, vocoder_params, hcfg = load_models(
+        args.checkpoint, args.vocoder)
 
     syn = Synthesizer(matcha_params, cfg, vocoder_params, hcfg)
 

@@ -20,6 +20,22 @@ def write_wav(path, audio: np.ndarray, sample_rate: int = 22050) -> None:
         w.writeframes(pcm.tobytes())
 
 
+def wav_bytes(audio: np.ndarray, sample_rate: int = 22050) -> bytes:
+    """Encode mono float32 [-1, 1] audio as an in-memory 16-bit PCM WAV
+    (serving responses; same encoding as `write_wav`)."""
+    import io
+
+    buf = io.BytesIO()
+    audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+    pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def read_wav(path):
     """Read a mono 16-bit PCM WAV to float32 (tests/round trips)."""
     with wave.open(str(path), "rb") as w:

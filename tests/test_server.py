@@ -1,0 +1,122 @@
+"""HTTP serving layer: dynamic batching, WAV/stream responses, errors."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+import wave
+
+import jax
+import numpy as np
+import pytest
+
+from matcha_tts_tpu.config import (AudioConfig, DecoderConfig,
+                                   DurationPredictorConfig, EncoderConfig,
+                                   HiFiGANConfig, MatchaConfig)
+from matcha_tts_tpu.inference.server import TTSServer
+from matcha_tts_tpu.inference.synthesizer import Synthesizer
+from matcha_tts_tpu.models import hifigan
+from matcha_tts_tpu.models.matcha import init_matcha
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = MatchaConfig(
+        encoder=EncoderConfig(n_feats=8, n_channels=32, filter_channels=64,
+                              n_heads=2, n_layers=1, p_dropout=0.0),
+        duration_predictor=DurationPredictorConfig(filter_channels_dp=32),
+        decoder=DecoderConfig(channels=(16, 16), attention_head_dim=8,
+                              num_heads=2, n_blocks=1, num_mid_blocks=1),
+        audio=AudioConfig(n_mels=8, hop_length=16),
+    )
+    hcfg = HiFiGANConfig(
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), num_mels=8,
+    )
+    syn = Synthesizer(init_matcha(jax.random.PRNGKey(0), cfg), cfg,
+                      hifigan.init_generator(jax.random.PRNGKey(1), hcfg),
+                      hcfg, text_buckets=(32, 64), frame_buckets=(64, 128))
+    srv = TTSServer(syn, max_batch=8, batch_window_ms=150.0).start()
+    yield srv
+    srv.stop()
+
+
+def _post(srv, payload, timeout=180):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/synthesize",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def _get(srv, path):
+    return urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}{path}", timeout=30)
+
+
+def test_healthz_and_synthesize_wav(server):
+    health = json.loads(_get(server, "/healthz").read())
+    assert health["status"] == "ok" and health["backend"] == "cpu"
+
+    resp = _post(server, {"text": "Hello world.", "n_timesteps": 2})
+    assert resp.headers["Content-Type"] == "audio/wav"
+    with wave.open(io.BytesIO(resp.read())) as w:
+        assert w.getframerate() == 22050
+        assert w.getnchannels() == 1
+        assert w.getnframes() > 0
+
+
+def test_concurrent_requests_get_batched(server):
+    """Two same-key requests inside the batch window must land in one
+    device call (stats.max_batch_seen >= 2)."""
+    results = {}
+
+    def call(i):
+        r = _post(server, {"text": f"Batched request number {i}.",
+                           "n_timesteps": 2, "seed": 5})
+        results[i] = r.read()
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(len(v) > 44 for v in results.values())  # WAV header + data
+    stats = json.loads(_get(server, "/stats").read())
+    assert stats["max_batch_seen"] >= 2, stats
+    assert stats["batched_requests"] >= 4
+    assert "rtf" in stats
+
+
+def test_streaming_endpoint(server):
+    resp = _post(server, {"text": "Stream me please.", "n_timesteps": 2,
+                          "stream": True})
+    assert resp.headers["Content-Type"] == "application/octet-stream"
+    assert resp.headers["X-Sample-Rate"] == "22050"
+    raw = resp.read()  # urllib de-chunks
+    assert len(raw) > 0 and len(raw) % 2 == 0
+    pcm = np.frombuffer(raw, "<i2")
+    assert np.isfinite(pcm.astype(np.float32)).all()
+
+
+def test_error_paths(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"text": ""})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"text": "x", "n_timesteps": "lots"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/nope", data=b"{}"),
+            timeout=30)
+    assert e.value.code == 404
+    # malformed body
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/synthesize", data=b"{not json")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
