@@ -44,8 +44,10 @@ def _block1d_kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, o_ref,
 
     # k=3 'same' conv as three shifted matmuls on the MXU.  fp32 inputs
     # use the HIGHEST-precision decomposition so the fused path matches
-    # XLA's conv numerics to ~1e-6 (bf16 inputs take the fast path).
-    prec = jax.lax.Precision.HIGHEST
+    # XLA's conv numerics to ~1e-6; bf16 inputs must use DEFAULT (Mosaic
+    # rejects an fp32-precision contract on bf16 operands: "Bad lhs type").
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     y = jnp.dot(x, w_ref[1], precision=prec,
                 preferred_element_type=jnp.float32)
     x_prev = jnp.concatenate([jnp.zeros((1, c_in), x.dtype), x[:-1]], axis=0)

@@ -147,3 +147,25 @@ def test_block1d_vjp_trains_through_unet():
                                        atol=2e-4, rtol=1e-3)
     finally:
         b1.block1d_fused = orig
+
+
+def test_block1d_fused_bf16_inputs():
+    """bf16 inputs must trace with DEFAULT matmul precision (Mosaic rejects
+    an fp32-precision contract on bf16 operands) and stay close to the
+    fp32 reference."""
+    rng = np.random.default_rng(5)
+    b, t, c = 1, 16, 128
+    x = rng.standard_normal((b, t, c)).astype(np.float32)
+    p = unet.init_block1d(jax.random.PRNGKey(6), c, c)
+    ref = np.asarray(block1d_fused(jnp.asarray(x), p["conv"]["weight"],
+                                   p["conv"]["bias"], p["norm"]["gamma"],
+                                   p["norm"]["beta"], interpret=True))
+    out = block1d_fused(jnp.asarray(x, jnp.bfloat16),
+                        p["conv"]["weight"].astype(jnp.bfloat16),
+                        p["conv"]["bias"].astype(jnp.bfloat16),
+                        p["norm"]["gamma"].astype(jnp.bfloat16),
+                        p["norm"]["beta"].astype(jnp.bfloat16),
+                        interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               atol=0.1, rtol=0.1)
