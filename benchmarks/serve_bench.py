@@ -1,0 +1,135 @@
+"""Serving throughput benchmark: dynamic batching under concurrent load.
+
+Measures what production cares about: sustained requests/sec, realized
+batch sizes, and serving RTF when N clients hit the HTTP server at once.
+Run on the TPU (default platform) or CPU (--cpu).
+
+  python benchmarks/serve_bench.py --clients 16 --requests 48
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SENTENCES = [
+    "The birch canoe slid on the smooth planks.",
+    "Glue the sheet to the dark blue background.",
+    "It is easy to tell the depth of a well.",
+    "These days a chicken leg is a rare dish.",
+    "Rice is often served in round bowls.",
+    "The juice of lemons makes fine punch.",
+    "The box was thrown beside the parked truck.",
+    "The hogs were fed chopped corn and garbage.",
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=48)
+    ap.add_argument("--nfe", type=int, default=10)
+    ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--batch-window-ms", type=float, default=15.0)
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
+    from matcha_tts_tpu.inference.server import TTSServer
+    from matcha_tts_tpu.inference.synthesizer import Synthesizer
+    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.models.matcha import init_matcha
+
+    cfg = MatchaConfig()
+    hcfg = HiFiGANConfig()
+    synth = Synthesizer(init_matcha(jax.random.PRNGKey(0), cfg), cfg,
+                        hifigan.init_generator(jax.random.PRNGKey(1), hcfg),
+                        hcfg, compute_dtype=args.compute_dtype,
+                        denoise_strength=0.00025)
+    srv = TTSServer(synth, max_batch=args.max_batch,
+                    batch_window_ms=args.batch_window_ms).start()
+    url = f"http://127.0.0.1:{srv.port}/synthesize"
+
+    def post(i):
+        body = json.dumps({"text": SENTENCES[i % len(SENTENCES)],
+                           "n_timesteps": args.nfe}).encode()
+        req = urllib.request.Request(url, data=body)
+        return urllib.request.urlopen(req, timeout=600).read()
+
+    print("warmup (precompiling batch shapes) ...", file=sys.stderr)
+    t0 = time.perf_counter()
+    synth.warmup(SENTENCES,
+                 batch_sizes=[b for b in synth.batch_buckets
+                              if b <= args.max_batch],
+                 n_timesteps=args.nfe)
+    print(f"warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    def load_round(name):
+        base = dict(srv.batcher.stats)
+        lat = [None] * args.requests
+        sem = threading.Semaphore(args.clients)
+
+        def worker(i):
+            with sem:
+                t = time.perf_counter()
+                post(i)
+                lat[i] = time.perf_counter() - t
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(args.requests)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+
+        st = srv.batcher.stats
+        n_batches = st["batches"] - base["batches"]
+        n_reqs = st["batched_requests"] - base["batched_requests"]
+        audio_s = st["audio_seconds"] - base["audio_seconds"]
+        synth_s = st["synth_seconds"] - base["synth_seconds"]
+        lat_sorted = sorted(v for v in lat if v is not None)
+        return {
+            "metric": "serving_throughput",
+            "round": name,
+            "requests": args.requests,
+            "clients": args.clients,
+            "wall_s": round(wall, 3),
+            "requests_per_s": round(args.requests / wall, 2),
+            "audio_seconds": round(audio_s, 2),
+            "serving_rtf": round(synth_s / max(audio_s, 1e-9), 5),
+            "xrealtime": round(audio_s / wall, 1),
+            "mean_batch": round(n_reqs / max(n_batches, 1), 2),
+            "max_batch_seen": st["max_batch_seen"],
+            "p50_latency_s": round(lat_sorted[len(lat_sorted) // 2], 3),
+            "p95_latency_s": round(lat_sorted[int(len(lat_sorted) * 0.95)], 3),
+        }
+
+    # round 1 pays the batched-shape compiles (bounded by batch buckets);
+    # round 2 is the steady-state serving number
+    print(json.dumps(load_round("cold")), file=sys.stderr)
+    print(json.dumps(load_round("steady")))
+    srv.stop()
+
+
+if __name__ == "__main__":
+    main()

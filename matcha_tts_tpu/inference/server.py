@@ -283,12 +283,28 @@ def main(argv=None):
     ap.add_argument("--batch-window-ms", type=float, default=10.0)
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--denoise-strength", type=float, default=0.00025)
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile batched graphs before serving")
+    ap.add_argument("--compile-cache", default=None,
+                    help="persistent JAX compilation cache dir "
+                         "(warm restarts skip compiles)")
     args = ap.parse_args(argv)
+
+    import jax
+
+    if args.compile_cache:
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     params, cfg, voc_params, hcfg = load_models(args.ckpt, args.vocoder)
     synth = Synthesizer(params, cfg, voc_params, hcfg,
                         compute_dtype=args.compute_dtype,
                         denoise_strength=args.denoise_strength)
+    if args.warmup:
+        print("warming up batched graphs ...")
+        n = synth.warmup(batch_sizes=[b for b in synth.batch_buckets
+                                      if b <= args.max_batch])
+        print(f"warmed {n} batch shapes")
     TTSServer(synth, host=args.host, port=args.port,
               max_batch=args.max_batch,
               batch_window_ms=args.batch_window_ms).serve_forever()

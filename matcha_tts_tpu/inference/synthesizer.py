@@ -29,6 +29,15 @@ from matcha_tts_tpu.models.matcha import encode_only, synthesize
 from matcha_tts_tpu.text.tokenizer import encode_text
 
 DEFAULT_TEXT_BUCKETS = (64, 128, 192, 256, 384, 512)
+# batched synthesis pads the batch dim to these sizes so each (B, T_x, T_y)
+# triple compiles once — essential under serving load, where arrival-driven
+# batch sizes would otherwise each trigger a full-graph compile
+DEFAULT_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
+# batch mode also coarsens the frame buckets: arrival-dependent batch
+# composition changes the max predicted duration, and a fine grid would
+# turn every composition into a fresh compile.  Throughput mode trades
+# padded frames for a tiny, warmable shape space.
+DEFAULT_BATCH_FRAME_BUCKETS = (256, 512, 1024, 2048)
 # Fine-grained in the common speech range (1.5-12 s) so padded compute and
 # device->host transfer track the true length; coarser above.
 DEFAULT_FRAME_BUCKETS = (128, 192, 256, 320, 384, 448, 512, 576, 640, 704,
@@ -182,6 +191,8 @@ class Synthesizer:
         hifi_cfg: Optional[HiFiGANConfig] = None,
         text_buckets: Sequence[int] = DEFAULT_TEXT_BUCKETS,
         frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
+        batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
+        batch_frame_buckets: Sequence[int] = DEFAULT_BATCH_FRAME_BUCKETS,
         compute_dtype: str = "float32",
         denoise_strength: float = 0.0,
     ):
@@ -191,6 +202,8 @@ class Synthesizer:
         self.hifi_cfg = hifi_cfg or HiFiGANConfig()
         self.text_buckets = tuple(text_buckets)
         self.frame_buckets = tuple(frame_buckets)
+        self.batch_buckets = tuple(batch_buckets)
+        self.batch_frame_buckets = tuple(batch_frame_buckets)
         self.compute_dtype = compute_dtype
         self.denoise_strength = float(denoise_strength)
         self._bias_spec = None
@@ -227,7 +240,7 @@ class Synthesizer:
                                       length_scale, seed, spk)
 
     def predict_frame_bucket(self, x, x_lengths, length_scale: float,
-                             spks=None) -> int:
+                             spks=None, buckets=None) -> int:
         """Run the (cheap, cached) encoder-only graph to get the exact
         predicted frame count, then snap to the smallest bucket.  Duration
         prediction is deterministic, so the fused graph sees no overflow."""
@@ -235,7 +248,8 @@ class Synthesizer:
                                 self.matcha_cfg, length_scale=length_scale,
                                 spks=spks)
         return self._bucket(int(np.max(np.asarray(y_lengths))),
-                            self.frame_buckets)
+                            buckets if buckets is not None
+                            else self.frame_buckets)
 
     # frames-per-interspersed-token upper bound for the heuristic frame
     # bucket; LJSpeech averages ~2.7 with trained weights.  Undershoot is
@@ -309,6 +323,24 @@ class Synthesizer:
                 continue
             self._observe_ratio(result.y_length, len(ids), length_scale)
             return result
+
+    def warmup(self, texts: Optional[Sequence[str]] = None,
+               batch_sizes: Optional[Sequence[int]] = None,
+               n_timesteps: int = 10, **kw) -> int:
+        """Precompile the batched fused graphs a serving deployment will
+        hit: for each batch bucket, synthesize representative `texts`
+        cycled to that size (frame buckets follow the duration model).
+        Returns the number of batch shapes warmed.  Combine with JAX's
+        persistent compilation cache for warm restarts."""
+        texts = list(texts) if texts else [
+            "The birch canoe slid on the smooth planks.",
+            "It is easy to tell the depth of a well, these days.",
+        ]
+        batch_sizes = list(batch_sizes) if batch_sizes else list(self.batch_buckets)
+        for b in batch_sizes:
+            reps = [texts[i % len(texts)] for i in range(b)]
+            self.synthesize_batch(reps, n_timesteps=n_timesteps, **kw)
+        return len(batch_sizes)
 
     # -- long-form / batched -------------------------------------------------
 
@@ -505,7 +537,9 @@ class Synthesizer:
                          temperature: float = 0.667, length_scale: float = 1.0,
                          seed: int = 0) -> List[SynthesisResult]:
         """Batched synthesis: group utterances into one padded batch per
-        bucket pair, amortizing the U-Net across the MXU batch dim."""
+        (batch, text) bucket pair, amortizing the U-Net across the MXU
+        batch dim.  The batch dim is padded up to `batch_buckets` so
+        arrival-driven sizes reuse compiled graphs (serving-critical)."""
         encoded = [self.tokenize(t) for t in texts]
         order = sorted(range(len(texts)), key=lambda i: len(encoded[i]))
         results: List[Optional[SynthesisResult]] = [None] * len(texts)
@@ -515,34 +549,40 @@ class Synthesizer:
             t_x = self._bucket(len(encoded[i]), self.text_buckets)
             groups.setdefault(t_x, []).append(i)
 
-        for t_x, idxs in groups.items():
-            b = len(idxs)
-            x = np.zeros((b, t_x), np.int32)
-            x_lengths = np.zeros((b,), np.int32)
-            for row, i in enumerate(idxs):
-                ids = encoded[i][:t_x]
-                x[row, : len(ids)] = ids
-                x_lengths[row] = len(ids)
-            xd, xld = jnp.asarray(x), jnp.asarray(x_lengths)
-            t_y = self.predict_frame_bucket(xd, xld, length_scale)
-            out, wav = _synthesize_to_wav(
-                self.matcha_params, self.vocoder_params,
-                jax.random.PRNGKey(seed), xd, xld,
-                self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
-                temperature, length_scale,
-                compute_dtype=self.compute_dtype,
-            )
-            wav_np = np.asarray(wav)
-            mel_np = np.asarray(out.mel)
-            attn_np = np.asarray(out.attn)
-            y_lens = np.asarray(out.y_lengths)
-            for row, i in enumerate(idxs):
-                y_len = int(y_lens[row])
-                n_samples = y_len * self.hifi_cfg.total_upsample
-                results[i] = SynthesisResult(
-                    wav=wav_np[row, :n_samples],
-                    mel=mel_np[row, :, :y_len],
-                    attn=attn_np[row, :, :y_len],
-                    rtf_breakdown={},
+        max_b = self.batch_buckets[-1]
+        for t_x, all_idxs in groups.items():
+            for start in range(0, len(all_idxs), max_b):
+                idxs = all_idxs[start : start + max_b]
+                b = self._bucket(len(idxs), self.batch_buckets)
+                # pad rows are all-zero tokens of length 1: cheapest valid
+                # utterance; their duration cannot raise the frame bucket
+                x = np.zeros((b, t_x), np.int32)
+                x_lengths = np.ones((b,), np.int32)
+                for row, i in enumerate(idxs):
+                    ids = encoded[i][:t_x]
+                    x[row, : len(ids)] = ids
+                    x_lengths[row] = len(ids)
+                xd, xld = jnp.asarray(x), jnp.asarray(x_lengths)
+                t_y = self.predict_frame_bucket(
+                    xd, xld, length_scale, buckets=self.batch_frame_buckets)
+                out, wav = _synthesize_to_wav(
+                    self.matcha_params, self.vocoder_params,
+                    jax.random.PRNGKey(seed), xd, xld,
+                    self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
+                    temperature, length_scale,
+                    compute_dtype=self.compute_dtype,
                 )
+                wav_np = np.asarray(wav)
+                mel_np = np.asarray(out.mel)
+                attn_np = np.asarray(out.attn)
+                y_lens = np.asarray(out.y_lengths)
+                for row, i in enumerate(idxs):
+                    y_len = int(y_lens[row])
+                    n_samples = y_len * self.hifi_cfg.total_upsample
+                    results[i] = SynthesisResult(
+                        wav=wav_np[row, :n_samples],
+                        mel=mel_np[row, :, :y_len],
+                        attn=attn_np[row, :, :y_len],
+                        rtf_breakdown={},
+                    )
         return results  # type: ignore
