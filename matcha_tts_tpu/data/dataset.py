@@ -210,12 +210,28 @@ class BucketBatcher:
 
     def collate(self, idxs: List[int]) -> Dict[str, np.ndarray]:
         ds, cfg = self.ds, self.cfg
-        wavs = [ds.load_audio(i) for i in idxs]
         toks = [ds.items[i].tokens for i in idxs]
         spks = [ds.items[i].spk for i in idxs]
 
         t_x = pick_bucket(max(len(t) for t in toks), cfg.text_buckets)
-        n_frames = [ds.n_frames(len(w)) for w in wavs]
+
+        from matcha_tts_tpu.native import wavio_native
+
+        b = len(idxs)
+        use_native = wavio_native.native_available()
+        if use_native:
+            # two-phase native load: header-only scan picks the frame
+            # bucket, then C++ threads decode straight into the padded
+            # batch buffer (no per-item Python arrays)
+            paths = [ds.items[i].audio_path for i in idxs]
+            wav_lens, srs = wavio_native.wav_lengths(paths)
+            for i, sr in enumerate(srs):
+                assert sr == ds.audio.sample_rate, (
+                    f"{paths[i]}: expected {ds.audio.sample_rate} Hz, got {sr}")
+            n_frames = [ds.n_frames(int(l)) for l in wav_lens]
+        else:
+            wavs = [ds.load_audio(i) for i in idxs]
+            n_frames = [ds.n_frames(len(w)) for w in wavs]
         t_y = pick_bucket(max(n_frames), cfg.frame_buckets)
 
         hop = ds.audio.hop_length
@@ -224,17 +240,20 @@ class BucketBatcher:
             (ds.audio.n_fft - hop) / 2
         )
 
-        b = len(idxs)
         x = np.zeros((b, t_x), np.int32)
         audio = np.zeros((b, wav_len), np.float32)
         x_lengths = np.zeros((b,), np.int32)
         y_lengths = np.zeros((b,), np.int32)
-        for i, (t, w, nf) in enumerate(zip(toks, wavs, n_frames)):
+        if use_native:
+            wavio_native.load_wav_batch_into(paths, audio)
+        for i, (t, nf) in enumerate(zip(toks, n_frames)):
             n = min(len(t), t_x)
             x[i, :n] = t[:n]
             x_lengths[i] = n
-            m = min(len(w), wav_len)
-            audio[i, :m] = w[:m]
+            if not use_native:
+                w = wavs[i]
+                m = min(len(w), wav_len)
+                audio[i, :m] = w[:m]
             y_lengths[i] = min(nf, t_y)
 
         batch = {

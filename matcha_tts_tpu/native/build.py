@@ -15,18 +15,32 @@ SRC = _DIR / "mas.cpp"
 LIB = _DIR / "_mas.so"
 
 
-def build(force: bool = False) -> Path:
-    if not force and LIB.exists() and LIB.stat().st_mtime >= SRC.stat().st_mtime:
-        return LIB
+def build_lib(src: Path, lib: Path, force: bool = False,
+              extra: tuple = ()) -> Path:
+    """Compile `src` -> shared `lib` (g++ -O3), rebuilding only when the
+    source is newer.  `extra` appends flags (e.g. ("-pthread",))."""
+    if not force and lib.exists() and lib.stat().st_mtime >= src.stat().st_mtime:
+        return lib
     base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-            str(SRC), "-o", str(LIB)]
+            *extra, str(src), "-o", str(lib)]
     try:
         subprocess.run(base[:1] + ["-fopenmp"] + base[1:], check=True,
                        capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError):
         subprocess.run(base, check=True, capture_output=True)
-    return LIB
+    return lib
+
+
+def build(force: bool = False) -> Path:
+    """Build the MAS kernel (back-compat entry)."""
+    return build_lib(SRC, LIB, force)
+
+
+def build_wavio(force: bool = False) -> Path:
+    return build_lib(_DIR / "wavio.cpp", _DIR / "_wavio.so", force,
+                     extra=("-pthread",))
 
 
 if __name__ == "__main__":
     print(build(force=True))
+    print(build_wavio(force=True))
