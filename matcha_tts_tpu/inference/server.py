@@ -120,7 +120,8 @@ class DynamicBatcher:
                 try:
                     results = self.synth.synthesize_batch(
                         [r.text for r in reqs], n_timesteps=nfe,
-                        temperature=temp, length_scale=ls, seed=seed)
+                        temperature=temp, length_scale=ls, seed=seed,
+                        spk=spk)
                 except Exception as e:  # propagate to every waiter
                     for r in reqs:
                         r.future.set_exception(e)

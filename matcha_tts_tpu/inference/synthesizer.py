@@ -535,11 +535,14 @@ class Synthesizer:
 
     def synthesize_batch(self, texts: Sequence[str], n_timesteps: int = 10,
                          temperature: float = 0.667, length_scale: float = 1.0,
-                         seed: int = 0) -> List[SynthesisResult]:
+                         seed: int = 0,
+                         spk: Optional[int] = None) -> List[SynthesisResult]:
         """Batched synthesis: group utterances into one padded batch per
         (batch, text) bucket pair, amortizing the U-Net across the MXU
         batch dim.  The batch dim is padded up to `batch_buckets` so
-        arrival-driven sizes reuse compiled graphs (serving-critical)."""
+        arrival-driven sizes reuse compiled graphs (serving-critical).
+        `spk` applies to the whole batch (the serving batcher groups
+        requests by speaker)."""
         encoded = [self.tokenize(t) for t in texts]
         order = sorted(range(len(texts)), key=lambda i: len(encoded[i]))
         results: List[Optional[SynthesisResult]] = [None] * len(texts)
@@ -563,13 +566,16 @@ class Synthesizer:
                     x[row, : len(ids)] = ids
                     x_lengths[row] = len(ids)
                 xd, xld = jnp.asarray(x), jnp.asarray(x_lengths)
+                spks = (np.full((b,), spk, np.int32)
+                        if spk is not None else None)
                 t_y = self.predict_frame_bucket(
-                    xd, xld, length_scale, buckets=self.batch_frame_buckets)
+                    xd, xld, length_scale, spks=spks,
+                    buckets=self.batch_frame_buckets)
                 out, wav = _synthesize_to_wav(
                     self.matcha_params, self.vocoder_params,
                     jax.random.PRNGKey(seed), xd, xld,
                     self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
-                    temperature, length_scale,
+                    temperature, length_scale, spks=spks,
                     compute_dtype=self.compute_dtype,
                 )
                 wav_np = np.asarray(wav)

@@ -204,3 +204,42 @@ def test_streaming_synthesis():
     # streamed chunks match one-shot synthesis of the same chunk/seed
     r0 = syn.synthesize("First one.", n_timesteps=2, seed=0)
     np.testing.assert_array_equal(got[0][1], r0.wav)
+
+
+def test_multispeaker_batched_synthesis():
+    """synthesize_batch must honor spk (the serving batcher groups by
+    speaker): different spk -> different audio, same spk -> identical."""
+    from matcha_tts_tpu.config import (DecoderConfig,
+                                       DurationPredictorConfig, EncoderConfig,
+                                       HiFiGANConfig, MatchaConfig)
+    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.models.matcha import init_matcha
+
+    cfg = MatchaConfig(
+        n_vocab=178, n_spks=4, spk_emb_dim=8,
+        encoder=EncoderConfig(n_feats=8, n_channels=32, filter_channels=64,
+                              n_heads=2, n_layers=1, p_dropout=0.0),
+        duration_predictor=DurationPredictorConfig(filter_channels_dp=32),
+        decoder=DecoderConfig(channels=(16, 16), attention_head_dim=8,
+                              num_heads=2, n_blocks=1, num_mid_blocks=1),
+        audio=AudioConfig(n_mels=8, hop_length=16),
+    )
+    hcfg = HiFiGANConfig(
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), num_mels=8,
+    )
+    params = init_matcha(jax.random.PRNGKey(0), cfg)
+    vp = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
+    syn = Synthesizer(params, cfg, vp, hcfg, text_buckets=(32,),
+                      frame_buckets=(64,), batch_frame_buckets=(64,))
+    texts = ["Hello there.", "Another one."]
+    r0 = syn.synthesize_batch(texts, n_timesteps=2, seed=3, spk=0)
+    r0b = syn.synthesize_batch(texts, n_timesteps=2, seed=3, spk=0)
+    r2 = syn.synthesize_batch(texts, n_timesteps=2, seed=3, spk=2)
+    np.testing.assert_array_equal(r0[0].wav, r0b[0].wav)
+    # speaker identity changes the output (duration and/or mel content)
+    m0, m2 = r0[0].mel, r2[0].mel
+    n = min(m0.shape[1], m2.shape[1])
+    assert (m0.shape != m2.shape
+            or np.abs(m0[:, :n] - m2[:, :n]).max() > 1e-4)
