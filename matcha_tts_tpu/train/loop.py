@@ -90,21 +90,20 @@ class Checkpointer:
                                                  create=True),
         )
 
-    def save(self, step: int, state: TrainState, model_cfg: MatchaConfig):
+    def save(self, step: int, state, model_cfg: Optional[MatchaConfig] = None):
+        """Save any NamedTuple train state (TrainState, DistillState,
+        GanTrainState) field-by-field, with the model config embedded."""
         import orbax.checkpoint as ocp
 
-        self.mngr.save(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardSave({"params": state.params,
-                                             "opt_state": state.opt_state,
-                                             "step": state.step}),
-                config=ocp.args.JsonSave(config_to_dict(model_cfg)),
-            ),
-        )
+        parts = {"state": ocp.args.StandardSave(dict(state._asdict()))}
+        if model_cfg is not None:
+            parts["config"] = ocp.args.JsonSave(config_to_dict(model_cfg))
+        self.mngr.save(step, args=ocp.args.Composite(**parts))
         self.mngr.wait_until_finished()
 
-    def restore(self, state: TrainState, step: Optional[int] = None):
+    def restore(self, state, step: Optional[int] = None):
+        """Restore into the same NamedTuple type as `state` (used as the
+        shape/dtype template).  Returns None when no checkpoint exists."""
         import orbax.checkpoint as ocp
 
         step = step if step is not None else self.mngr.latest_step()
@@ -113,14 +112,10 @@ class Checkpointer:
         restored = self.mngr.restore(
             step,
             args=ocp.args.Composite(
-                state=ocp.args.StandardRestore({"params": state.params,
-                                                "opt_state": state.opt_state,
-                                                "step": state.step})
+                state=ocp.args.StandardRestore(dict(state._asdict()))
             ),
         )
-        st = restored["state"]
-        return TrainState(step=st["step"], params=st["params"],
-                          opt_state=st["opt_state"])
+        return type(state)(**restored["state"])
 
 
 def fit(

@@ -109,3 +109,50 @@ def test_prefetch_iterator():
     with pytest.raises(RuntimeError):
         for _ in it:
             pass
+
+
+def test_checkpointer_generic_states(tmp_path):
+    """Checkpointer round-trips DistillState and GanTrainState (not just
+    TrainState)."""
+    import jax
+
+    from matcha_tts_tpu.config import (AudioConfig, DecoderConfig,
+                                       DurationPredictorConfig, EncoderConfig,
+                                       HiFiGANConfig, MatchaConfig)
+    from matcha_tts_tpu.models.matcha import init_matcha
+    from matcha_tts_tpu.train.distill import DistillConfig, create_distill_state
+    from matcha_tts_tpu.train.loop import Checkpointer
+    from matcha_tts_tpu.train.vocoder import create_gan_state
+
+    cfg = MatchaConfig(
+        encoder=EncoderConfig(n_feats=8, n_channels=32, filter_channels=64,
+                              n_heads=2, n_layers=1),
+        duration_predictor=DurationPredictorConfig(filter_channels_dp=32),
+        decoder=DecoderConfig(channels=(16, 16), attention_head_dim=8,
+                              num_heads=2, n_blocks=1, num_mid_blocks=1),
+        audio=AudioConfig(n_mels=8),
+    )
+    dstate = create_distill_state(init_matcha(jax.random.PRNGKey(0), cfg),
+                                  DistillConfig())
+    ck = Checkpointer(tmp_path / "d", keep=1)
+    ck.save(3, jax.device_get(dstate), cfg)
+    back = ck.restore(dstate)
+    assert back is not None and isinstance(back, type(dstate))
+    a = jax.tree.leaves(dstate.ema_params)[0]
+    b = jax.tree.leaves(back.ema_params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    hcfg = HiFiGANConfig(
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), num_mels=8,
+    )
+    gstate = create_gan_state(jax.random.PRNGKey(1), hcfg,
+                              use_weight_norm=True)
+    ck2 = Checkpointer(tmp_path / "g", keep=1)
+    ck2.save(7, jax.device_get(gstate))  # no model_cfg: also supported
+    gback = ck2.restore(gstate)
+    assert gback is not None
+    ga = jax.tree.leaves(gstate.gen_params)[0]
+    gb = jax.tree.leaves(gback.gen_params)[0]
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
