@@ -254,6 +254,19 @@ class TTSServer:
         return self
 
     def serve_forever(self):
+        """Serve until SIGTERM/SIGINT, then drain the batcher and exit
+        cleanly (in-flight requests finish; no truncated responses)."""
+        import signal
+
+        def handle(signum, frame):
+            print(f"signal {signum}: shutting down")
+            threading.Thread(target=self.stop, daemon=True).start()
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handle)
+            except ValueError:  # non-main thread (embedded use)
+                break
         print(f"matcha-tpu serving on :{self.port} "
               f"(max_batch={self.batcher.max_batch}, "
               f"window={self.batcher.window_s * 1e3:.0f}ms)")
