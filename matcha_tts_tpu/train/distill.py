@@ -287,3 +287,80 @@ def distill_fit(teacher_params, cfg: MatchaConfig, dcfg: DistillConfig,
             print(f"[distill {step + 1}] "
                   + " ".join(f"{k}={float(v):.5f}" for k, v in metrics.items()))
     return state
+
+
+def main(argv=None):
+    """CLI: distill a checkpoint to a few-step student.
+
+      python -m matcha_tts_tpu.train.distill --teacher matcha.ckpt \\
+          --texts corpus.txt --steps 2000 --nfe-student 2 \\
+          --work_dir runs/distill
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description="few-step CFM distillation")
+    ap.add_argument("--teacher", default=None,
+                    help="teacher checkpoint (torch .ckpt/.pt); random init "
+                         "if omitted (smoke)")
+    ap.add_argument("--texts", default=None,
+                    help="text corpus, one utterance per line (or a "
+                         "filelist with wav|text rows); built-in sample "
+                         "sentences if omitted")
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--loss", choices=("reflow", "consistency"),
+                    default="reflow")
+    ap.add_argument("--nfe-teacher", type=int, default=16)
+    ap.add_argument("--nfe-student", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--text_bucket", type=int, default=128)
+    ap.add_argument("--frame_bucket", type=int, default=512)
+    ap.add_argument("--work_dir", default="runs/distill")
+    ap.add_argument("--ckpt_every", type=int, default=500)
+    args = ap.parse_args(argv)
+
+    from matcha_tts_tpu.inference.cli import load_models
+    from matcha_tts_tpu.train.loop import Checkpointer, MetricsLogger
+
+    teacher_params, cfg, _, _ = load_models(args.teacher, None)
+
+    if args.texts:
+        lines = []
+        for raw in open(args.texts, encoding="utf-8"):
+            raw = raw.strip()
+            if raw:
+                lines.append(raw.split("|")[-1])  # filelist or plain text
+        texts = lines
+    else:
+        texts = [
+            "The birch canoe slid on the smooth planks.",
+            "Glue the sheet to the dark blue background.",
+            "It is easy to tell the depth of a well.",
+            "These days a chicken leg is a rare dish.",
+        ]
+
+    dcfg = DistillConfig(loss=args.loss, nfe_teacher=args.nfe_teacher,
+                         nfe_student=args.nfe_student,
+                         learning_rate=args.lr)
+    logger = MetricsLogger(args.work_dir)
+    ckpt = Checkpointer(f"{args.work_dir}/ckpt")
+    holder = {}
+
+    def cb(step, metrics):
+        holder["metrics"] = metrics
+        if (step + 1) % 10 == 0:
+            logger.log(step + 1, "distill", metrics)
+
+    state = distill_fit(teacher_params, cfg, dcfg, texts, steps=args.steps,
+                        batch_size=args.batch_size,
+                        text_bucket=args.text_bucket,
+                        frame_bucket=args.frame_bucket, callback=cb)
+    ckpt.save(args.steps, jax.device_get(state), cfg)
+    print(f"saved distilled student ({args.loss}, NFE {args.nfe_student}) "
+          f"to {args.work_dir}/ckpt; use state.params with "
+          f"synthesize(n_timesteps={args.nfe_student})")
+    return state
+
+
+if __name__ == "__main__":
+    main()
