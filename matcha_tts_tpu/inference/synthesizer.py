@@ -510,7 +510,8 @@ class Synthesizer:
                 x_lengths[row] = len(ids)
             xd = jax.device_put(x, sharding)
             xld = jax.device_put(x_lengths, sharding)
-            t_y = self.predict_frame_bucket(xd, xld, length_scale)
+            t_y = self.predict_frame_bucket(
+                xd, xld, length_scale, buckets=self.batch_frame_buckets)
             out, wav = _synthesize_to_wav(
                 self.matcha_params, self.vocoder_params,
                 jax.random.PRNGKey(seed), xd, xld,

@@ -108,8 +108,8 @@ def test_sharded_batch_synthesis():
     from matcha_tts_tpu.parallel.mesh import make_mesh
 
     cfg, hcfg, mp, vp = tiny_models()
-    syn = Synthesizer(mp, cfg, vp, hcfg,
-                      text_buckets=(32,), frame_buckets=(64,))
+    syn = Synthesizer(mp, cfg, vp, hcfg, text_buckets=(32,),
+                      frame_buckets=(64,), batch_frame_buckets=(64,))
     mesh = make_mesh(8)
     texts = [f"sentence number {i}" for i in range(10)]
     rs = syn.synthesize_batch_sharded(texts, mesh, n_timesteps=2)
