@@ -33,6 +33,8 @@ def main(argv=None):
     p.add_argument("--t-x", type=int, default=256)
     p.add_argument("--t-y", type=int, default=768)
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--fp32", action="store_true",
+                   help="disable bf16 mixed precision")
     args = p.parse_args(argv)
 
     from matcha_tts_tpu.config import MatchaConfig, TrainConfig
@@ -40,7 +42,8 @@ def main(argv=None):
     from matcha_tts_tpu.train.train_state import create_train_state, train_step
 
     cfg = MatchaConfig()
-    tcfg = TrainConfig(batch_size=args.batch)
+    tcfg = TrainConfig(batch_size=args.batch,
+                       mixed_precision=not args.fp32)
     params = init_matcha(jax.random.PRNGKey(0), cfg)
     state = create_train_state(params, tcfg)
 
@@ -68,6 +71,7 @@ def main(argv=None):
     frames = int(np.sum(np.asarray(batch["y_lengths"])))
     rec = {
         "metric": "train_mel_frames_per_sec_per_chip",
+        "precision": "fp32" if args.fp32 else "bf16-mixed",
         "batch": b, "t_x": t_x, "t_y": t_y,
         "sec_per_step": dt,
         "frames_per_sec": frames / dt,

@@ -75,6 +75,7 @@ def compute_loss(
     mask: jnp.ndarray,
     mu: jnp.ndarray,
     sigma_min: float = 1e-4,
+    compute_dtype: str = "float32",
 ):
     """OT-CFM loss (model.py:1147-1162).
 
@@ -82,16 +83,22 @@ def compute_loss(
     t ~ U(0,1) per item; y_t = (1 - (1-sigma)t) z + t x1;
     u_t = x1 - (1-sigma) z; loss = sum (pred - u_t)^2 / (sum(mask) * C).
     Returns (loss, y_t, pred, u_t) like the reference.
+
+    Noise, path, and target are fp32; with bf16 `compute_dtype` only the
+    estimator pass runs bf16 (fp32 accumulation in its matmuls).
     """
+    cd = jnp.dtype(compute_dtype)
     kt, kz = jax.random.split(key)
     b = mu.shape[0]
-    t = jax.random.uniform(kt, (b, 1, 1), x1.dtype)
-    z = jax.random.normal(kz, x1.shape, x1.dtype)
+    x1 = x1.astype(jnp.float32)
+    t = jax.random.uniform(kt, (b, 1, 1), jnp.float32)
+    z = jax.random.normal(kz, x1.shape, jnp.float32)
 
     y_t = (1.0 - (1.0 - sigma_min) * t) * z + t * x1
     u_t = x1 - (1.0 - sigma_min) * z
 
-    pred = estimator(y_t, mask, mu, t[:, 0, 0])
+    pred = estimator(y_t.astype(cd), mask.astype(cd), mu.astype(cd),
+                     t[:, 0, 0].astype(cd)).astype(jnp.float32)
     # Parity note: the reference sums the UNMASKED squared error
     # (model.py:1158-1161).  The estimator zeroes `pred` at padded
     # positions but u_t there is -(1-sigma)*z (noise), so those positions

@@ -112,9 +112,13 @@ def conv1d(params, x: jnp.ndarray, stride: int = 1, padding: int = 0,
            dilation: int = 1) -> jnp.ndarray:
     """1D convolution, torch.nn.Conv1d semantics, (B, T, C) layout.
 
-    When `x` is bf16 the MXU runs bf16 multiplies with fp32 accumulation
-    (preferred_element_type) — the TPU equivalent of the reference's
-    "16-mixed" AMP (train_standalone.py:764)."""
+    When `x` is bf16 the MXU runs bf16 multiplies with fp32 internal
+    accumulation — the TPU equivalent of the reference's "16-mixed" AMP
+    (train_standalone.py:764).  fp32 inputs request an explicit fp32
+    result type; bf16 inputs do not (lax.conv's transpose rule cannot
+    differentiate a preferred_element_type upcast, and the MXU
+    accumulates fp32 internally either way)."""
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     out = jax.lax.conv_general_dilated(
         x,
         params["weight"].astype(x.dtype),
@@ -122,7 +126,7 @@ def conv1d(params, x: jnp.ndarray, stride: int = 1, padding: int = 0,
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     )
     out = out.astype(x.dtype)
     if "bias" in params:
@@ -148,7 +152,9 @@ def conv_transpose1d(params, x: jnp.ndarray, stride: int, padding: int) -> jnp.n
         padding=[(pad, pad)],
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
+        # see conv1d: fp32 requests an fp32 result; bf16 must not (grad)
+        preferred_element_type=(jnp.float32 if x.dtype == jnp.float32
+                                else None),
     )
     out = out.astype(x.dtype)
     if "bias" in params:

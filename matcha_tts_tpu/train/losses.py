@@ -60,12 +60,19 @@ def matcha_losses(
     spks: Optional[jnp.ndarray] = None,
     train: bool = True,
     prior_loss_enabled: bool = True,
+    compute_dtype: str = "float32",
 ) -> LossOutput:
     """One training forward: encoder -> MAS (stop-grad) -> three losses.
 
     x: (B, T_x) tokens; y: (B, T_y, n_feats) normalized mel (channels-last;
     the data pipeline transposes).  T_x/T_y are static bucket sizes.
+
+    `compute_dtype="bfloat16"` is the TPU equivalent of the reference's
+    "16-mixed" AMP (train_standalone.py:764): parameters stay fp32 master
+    weights, activations run bf16 on the MXU with fp32 accumulation, and
+    MAS / loss reductions stay fp32 (bf16 needs no loss scaling).
     """
+    cd = jnp.dtype(compute_dtype)
     k_drop, k_cfm = jax.random.split(key)
     rng = Rng(k_drop) if train else None
 
@@ -75,7 +82,12 @@ def matcha_losses(
 
     mu_x, logw, x_mask = text_encoder(params["encoder"], x, x_lengths,
                                       cfg.encoder, cfg.duration_predictor,
-                                      spk_emb=spk_emb, rng=rng)
+                                      spk_emb=spk_emb, rng=rng,
+                                      compute_dtype=cd)
+    mu_x = mu_x.astype(jnp.float32)
+    logw = logw.astype(jnp.float32)
+    x_mask = x_mask.astype(jnp.float32)
+    y = y.astype(jnp.float32)
 
     t_y = y.shape[1]
     y_mask = sequence_mask(y_lengths, t_y).astype(x_mask.dtype)
@@ -98,7 +110,8 @@ def matcha_losses(
     # --- CFM loss (model.py:1147-1162) --------------------------------------
     est = estimator_fn(params, cfg, spk_emb=spk_emb, rng=rng)
     cfm_loss, _, _, _ = cfm.compute_loss(est, k_cfm, y, y_mask, mu_y,
-                                         sigma_min=cfg.cfm.sigma_min)
+                                         sigma_min=cfg.cfm.sigma_min,
+                                         compute_dtype=cd)
 
     # --- prior loss (train_standalone.py:661-663) ---------------------------
     if prior_loss_enabled:

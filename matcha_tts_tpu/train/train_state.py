@@ -38,12 +38,13 @@ def create_train_state(params, cfg: TrainConfig) -> TrainState:
                       opt_state=tx.init(params))
 
 
-def loss_fn(params, key, batch, model_cfg: MatchaConfig, prior_loss: bool):
+def loss_fn(params, key, batch, model_cfg: MatchaConfig, prior_loss: bool,
+            compute_dtype: str = "float32"):
     out = matcha_losses(
         params, key,
         batch["x"], batch["x_lengths"], batch["y"], batch["y_lengths"],
         model_cfg, spks=batch.get("spks"), train=True,
-        prior_loss_enabled=prior_loss,
+        prior_loss_enabled=prior_loss, compute_dtype=compute_dtype,
     )
     return out.total, out
 
@@ -54,8 +55,11 @@ def train_step(state: TrainState, key, batch, model_cfg: MatchaConfig,
                train_cfg: TrainConfig):
     """One optimizer step; returns (new_state, metrics dict)."""
     key = jax.random.fold_in(key, state.step)
+    # bf16 compute with fp32 master weights = the reference's "16-mixed"
+    # (train_standalone.py:764,868); bf16 needs no loss scaling
+    cd = "bfloat16" if train_cfg.mixed_precision else "float32"
     grads, out = jax.grad(loss_fn, has_aux=True)(
-        state.params, key, batch, model_cfg, train_cfg.prior_loss
+        state.params, key, batch, model_cfg, train_cfg.prior_loss, cd
     )
     tx = make_optimizer(train_cfg)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)

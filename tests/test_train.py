@@ -105,9 +105,12 @@ def test_train_step_decreases_loss():
 
 
 def test_data_parallel_matches_single_device():
-    """The DP-sharded step must produce the same update as unsharded."""
+    """The DP-sharded step must produce the same update as unsharded.
+    fp32: this tests sharding equivalence, and bf16 rounding amplifies
+    cross-device reduction-order noise past tight tolerances."""
     cfg = tiny_cfg()
-    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3)
+    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3,
+                       mixed_precision=False)
     rng = np.random.default_rng(3)
     batch = tiny_batch(rng)
     key = jax.random.PRNGKey(5)
@@ -151,7 +154,8 @@ def test_multislice_mesh_matches_single_mesh():
     train_step must produce the same loss as the 1-D 8-device mesh
     (pure DP is layout-invariant)."""
     cfg = tiny_cfg()
-    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3)
+    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3,
+                       mixed_precision=False)
 
     losses = {}
     for name, mesh in (("1d", pmesh.make_mesh(8)),
@@ -168,3 +172,29 @@ def test_multislice_mesh_matches_single_mesh():
         losses[name] = float(metrics["loss"])
         assert np.isfinite(losses[name])
     np.testing.assert_allclose(losses["1d"], losses["2x4"], rtol=1e-5)
+
+
+def test_mixed_precision_step_runs_and_tracks_fp32():
+    """bf16 mixed-precision training (the default, mirroring the
+    reference's "16-mixed") must run under grad and stay close to the
+    fp32 step for one update."""
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(7)
+    batch = tiny_batch(rng)
+    key = jax.random.PRNGKey(11)
+
+    outs = {}
+    for mp_flag in (False, True):
+        tcfg = TrainConfig(batch_size=8, learning_rate=1e-3,
+                           mixed_precision=mp_flag)
+        state = create_train_state(init_matcha(jax.random.PRNGKey(4), cfg),
+                                   tcfg)
+        state, m = train_step(state, key, batch, cfg, tcfg)
+        assert np.isfinite(float(m["loss"]))
+        # master weights stay fp32
+        assert all(l.dtype == jnp.float32
+                   for l in jax.tree.leaves(state.params)
+                   if hasattr(l, "dtype") and l.dtype.kind == "f")
+        outs[mp_flag] = float(m["loss"])
+    # bf16 loss within ~1% of fp32 (same data, same key)
+    assert abs(outs[True] - outs[False]) / abs(outs[False]) < 0.02, outs
