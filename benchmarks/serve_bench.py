@@ -76,9 +76,9 @@ def main():
 
     print("warmup (precompiling batch shapes) ...", file=sys.stderr)
     t0 = time.perf_counter()
+    limit = synth._bucket(args.max_batch, synth.batch_buckets)
     synth.warmup(SENTENCES,
-                 batch_sizes=[b for b in synth.batch_buckets
-                              if b <= args.max_batch],
+                 batch_sizes=[b for b in synth.batch_buckets if b <= limit],
                  n_timesteps=args.nfe)
     print(f"warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 

@@ -72,17 +72,37 @@ class DynamicBatcher:
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
                       "audio_seconds": 0.0, "synth_seconds": 0.0,
                       "max_batch_seen": 0}
+        # serializes ALL device dispatch (batched calls here, streaming
+        # calls on handler threads) — the device never sees concurrent
+        # programs from multiple host threads
+        self.device_lock = threading.Lock()
+        self._closing = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def submit(self, req: _Request) -> Future:
+        if self._closing:
+            req.future.set_exception(
+                RuntimeError("server is shutting down"))
+            return req.future
         self.stats["requests"] += 1
         self.q.put(req)
         return req.future
 
     def shutdown(self):
+        """Drain: requests enqueued before shutdown complete normally; new
+        submits (and any that race past the sentinel) fail fast."""
+        self._closing = True
         self.q.put(None)
-        self._thread.join(timeout=5.0)
+        self._thread.join(timeout=300.0)
+        while True:  # fail any stragglers enqueued after the sentinel
+            try:
+                item = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item.future.set_exception(
+                    RuntimeError("server is shutting down"))
 
     # -- batcher thread ------------------------------------------------------
 
@@ -118,10 +138,11 @@ class DynamicBatcher:
             for (nfe, temp, ls, seed, spk), reqs in groups.items():
                 t0 = time.monotonic()
                 try:
-                    results = self.synth.synthesize_batch(
-                        [r.text for r in reqs], n_timesteps=nfe,
-                        temperature=temp, length_scale=ls, seed=seed,
-                        spk=spk)
+                    with self.device_lock:
+                        results = self.synth.synthesize_batch(
+                            [r.text for r in reqs], n_timesteps=nfe,
+                            temperature=temp, length_scale=ls, seed=seed,
+                            spk=spk)
                 except Exception as e:  # propagate to every waiter
                     for r in reqs:
                         r.future.set_exception(e)
@@ -149,6 +170,12 @@ class TTSServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # chunked transfer (streaming endpoint) requires HTTP/1.1 —
+            # under the default HTTP/1.0 status line, spec-compliant
+            # clients ignore the chunk framing and read raw chunk headers
+            # as payload
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet; stats endpoint instead
                 pass
 
@@ -217,13 +244,22 @@ class TTSServer:
                     self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
                     try:
-                        for chunk in server.synth.stream_samples(
-                                req.text, n_timesteps=req.n_timesteps,
-                                temperature=req.temperature,
-                                length_scale=req.length_scale,
-                                seed=req.seed, spk=req.spk):
-                            pcm = (np.clip(chunk, -1, 1)
-                                   * 32767.0).astype("<i2").tobytes()
+                        from matcha_tts_tpu.utils.wav import pcm16_bytes
+
+                        gen = server.synth.stream_samples(
+                            req.text, n_timesteps=req.n_timesteps,
+                            temperature=req.temperature,
+                            length_scale=req.length_scale,
+                            seed=req.seed, spk=req.spk)
+                        while True:
+                            # device dispatch happens inside next(); hold
+                            # the batcher's lock per chunk so streams and
+                            # batches never dispatch concurrently
+                            with server.batcher.device_lock:
+                                chunk = next(gen, None)
+                            if chunk is None:
+                                break
+                            pcm = pcm16_bytes(chunk)
                             self.wfile.write(
                                 f"{len(pcm):X}\r\n".encode() + pcm + b"\r\n")
                         self.wfile.write(b"0\r\n\r\n")
@@ -243,6 +279,9 @@ class TTSServer:
                 self.wfile.write(body)
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
+        # non-daemon handlers + block_on_close: server_close() waits for
+        # in-flight responses to finish writing (graceful drain)
+        self.httpd.daemon_threads = False
         self.port = self.httpd.server_address[1]
         self._serve_thread: Optional[threading.Thread] = None
 
@@ -254,13 +293,20 @@ class TTSServer:
         return self
 
     def serve_forever(self):
-        """Serve until SIGTERM/SIGINT, then drain the batcher and exit
-        cleanly (in-flight requests finish; no truncated responses)."""
+        """Serve until SIGTERM/SIGINT, then drain and exit cleanly.
+
+        The signal handler only unblocks `httpd.serve_forever()` (from a
+        helper thread — calling shutdown() on the serving thread would
+        deadlock); the actual drain runs HERE on the main thread, so the
+        process cannot exit before queued requests finish and their
+        responses are written (handler threads are non-daemon and
+        server_close() joins them)."""
         import signal
 
         def handle(signum, frame):
             print(f"signal {signum}: shutting down")
-            threading.Thread(target=self.stop, daemon=True).start()
+            threading.Thread(target=self.httpd.shutdown,
+                             daemon=True).start()
 
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
@@ -271,11 +317,17 @@ class TTSServer:
               f"(max_batch={self.batcher.max_batch}, "
               f"window={self.batcher.window_s * 1e3:.0f}ms)")
         self.httpd.serve_forever()
+        # main thread resumes here after the signal: drain synchronously
+        self.batcher.shutdown()
+        self.httpd.server_close()  # joins in-flight handler threads
+        print("drained; clean exit")
 
     def stop(self):
         self.httpd.shutdown()
-        self.httpd.server_close()
+        # drain the batcher BEFORE joining handler threads: handlers may be
+        # blocked on batcher futures, and server_close() waits for them
         self.batcher.shutdown()
+        self.httpd.server_close()
         if self._serve_thread is not None:
             self._serve_thread.join(timeout=5.0)
 
@@ -316,8 +368,11 @@ def main(argv=None):
                         denoise_strength=args.denoise_strength)
     if args.warmup:
         print("warming up batched graphs ...")
+        # warm every bucket a runtime batch can PAD UP to (<= max_batch
+        # requests round up to the next bucket, which must be compiled)
+        limit = synth._bucket(args.max_batch, synth.batch_buckets)
         n = synth.warmup(batch_sizes=[b for b in synth.batch_buckets
-                                      if b <= args.max_batch])
+                                      if b <= limit])
         print(f"warmed {n} batch shapes")
     TTSServer(synth, host=args.host, port=args.port,
               max_batch=args.max_batch,

@@ -62,12 +62,14 @@ def _synthesize_to_wav(
     length_scale: float,
     spks=None,
     compute_dtype: str = "float32",
+    noise_ids=None,
 ):
     """One fused graph: encoder -> duration -> Euler CFM -> HiFi-GAN."""
     out = synthesize(matcha_params, key, x, x_lengths, matcha_cfg,
                      n_timesteps=n_timesteps, t_y_max=t_y_max,
                      temperature=temperature, length_scale=length_scale,
-                     spks=spks, compute_dtype=compute_dtype)
+                     spks=spks, compute_dtype=compute_dtype,
+                     noise_ids=noise_ids)
     mel_btc = out.mel.transpose(0, 2, 1)  # (B, T, n_mels)
     wav = hifigan_mod.generator(vocoder_params,
                                 mel_btc.astype(jnp.dtype(compute_dtype)),
@@ -97,6 +99,7 @@ def _synthesize_packed(
     compute_dtype: str = "float32",
     bias_spec=None,
     denoise_strength: float = 0.0,
+    noise_ids=None,
 ):
     """Fused graph whose primary output is ONE flat int16 buffer:
     [pcm16 (B*T_wav) | y_lengths (B)].
@@ -112,7 +115,7 @@ def _synthesize_packed(
     out, wav = _synthesize_to_wav.__wrapped__(
         matcha_params, vocoder_params, key, x, x_lengths, matcha_cfg,
         hifi_cfg, n_timesteps, t_y_max, temperature, length_scale, spks,
-        compute_dtype,
+        compute_dtype, noise_ids,
     )
     if denoise_strength > 0.0 and bias_spec is not None:
         from matcha_tts_tpu.models.denoiser import DenoiserState
@@ -224,6 +227,17 @@ class Synthesizer:
     def tokenize(self, text: str) -> np.ndarray:
         return encode_text(text, add_blank=True)
 
+    @staticmethod
+    def _noise_id(ids: np.ndarray) -> int:
+        """Stable per-utterance noise identity (content hash): the same
+        (tokens, seed) draws the same CFM noise whether synthesized alone,
+        in any batch row, or alongside any other requests.  (The frame
+        bucket can still shift outputs slightly — the reference's
+        GroupNorm includes padded frames in its statistics.)"""
+        import zlib
+
+        return zlib.crc32(np.asarray(ids, np.int32).tobytes()) & 0x7FFFFFFF
+
     # -- single utterance ---------------------------------------------------
 
     def synthesize(
@@ -303,6 +317,7 @@ class Synthesizer:
                 f"vocoder upsampling x{self.hifi_cfg.total_upsample} must "
                 f"equal the mel hop length {hop} (wav samples per frame)")
         key = jax.random.PRNGKey(seed)
+        noise_ids = jnp.asarray([self._noise_id(ids)], jnp.int32)
         while True:
             packed, out = _synthesize_packed(
                 self.matcha_params, self.vocoder_params, key, x, x_lengths,
@@ -311,6 +326,7 @@ class Synthesizer:
                 compute_dtype=self.compute_dtype,
                 bias_spec=self._bias_spec,
                 denoise_strength=self.denoise_strength,
+                noise_ids=noise_ids,
             )
             result = LazySynthesisResult(packed, out, row=0, batch=1,
                                          t_wav=t_y * hop, hop=hop)
@@ -508,8 +524,12 @@ class Synthesizer:
                 ids = encoded[i][:t_x]  # truncate past the largest bucket
                 x[row, : len(ids)] = ids
                 x_lengths[row] = len(ids)
+            noise_ids = np.zeros((b,), np.int32)
+            for row, i in enumerate(idxs):
+                noise_ids[row] = self._noise_id(encoded[i][:t_x])
             xd = jax.device_put(x, sharding)
             xld = jax.device_put(x_lengths, sharding)
+            nid = jax.device_put(noise_ids, sharding)
             t_y = self.predict_frame_bucket(
                 xd, xld, length_scale, buckets=self.batch_frame_buckets)
             out, wav = _synthesize_to_wav(
@@ -518,6 +538,7 @@ class Synthesizer:
                 self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
                 temperature, length_scale,
                 compute_dtype=self.compute_dtype,
+                noise_ids=nid,
             )
             wav_np = np.asarray(wav)
             mel_np = np.asarray(out.mel)
@@ -569,6 +590,11 @@ class Synthesizer:
                 xd, xld = jnp.asarray(x), jnp.asarray(x_lengths)
                 spks = (np.full((b,), spk, np.int32)
                         if spk is not None else None)
+                # content-keyed noise: a request's noise is independent of
+                # row order and co-batched requests (pad rows get id 0)
+                noise_ids = np.zeros((b,), np.int32)
+                for row, i in enumerate(idxs):
+                    noise_ids[row] = self._noise_id(encoded[i][:t_x])
                 t_y = self.predict_frame_bucket(
                     xd, xld, length_scale, spks=spks,
                     buckets=self.batch_frame_buckets)
@@ -578,6 +604,7 @@ class Synthesizer:
                     self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
                     temperature, length_scale, spks=spks,
                     compute_dtype=self.compute_dtype,
+                    noise_ids=jnp.asarray(noise_ids),
                 )
                 wav_np = np.asarray(wav)
                 mel_np = np.asarray(out.mel)

@@ -61,10 +61,23 @@ def sample(
     n_timesteps: int,
     temperature: float = 1.0,
     solver: str = "euler",
+    noise_ids=None,
 ) -> jnp.ndarray:
     """z ~ N(0, I) * temperature, then ODE-solve (model.py:1084-1109).
-    Noise is drawn in fp32 for reproducibility across compute dtypes."""
-    z = jax.random.normal(key, mu.shape, jnp.float32) * temperature
+    Noise is drawn in fp32 for reproducibility across compute dtypes.
+
+    With `noise_ids` (B,) int32, each row's noise comes from
+    fold_in(key, noise_ids[b]) — rows keyed by request CONTENT, so a
+    batched request's noise does not depend on its row position or on
+    which other requests share the batch (serving determinism)."""
+    if noise_ids is None:
+        z = jax.random.normal(key, mu.shape, jnp.float32) * temperature
+    else:
+        def row(nid):
+            return jax.random.normal(jax.random.fold_in(key, nid),
+                                     mu.shape[1:], jnp.float32)
+
+        z = jax.vmap(row)(noise_ids) * temperature
     return solve(estimator, z, mask, mu, n_timesteps, solver)
 
 

@@ -85,6 +85,7 @@ def synthesize(
     solver: Optional[str] = None,
     spks: Optional[jnp.ndarray] = None,
     compute_dtype: str = "float32",
+    noise_ids: Optional[jnp.ndarray] = None,
 ) -> SynthesisOutput:
     """Full text -> mel inference in ONE jitted graph
     (reference: model.py:1264-1300).
@@ -125,7 +126,7 @@ def synthesize(
     est = estimator_fn(params, cfg, spk_emb=spk_emb, rng=None)
     mel = cfm.sample(est, key, mu_y, y_mask.astype(dtype), n_timesteps,
                      temperature=temperature,
-                     solver=solver or cfg.cfm.solver)
+                     solver=solver or cfg.cfm.solver, noise_ids=noise_ids)
 
     mel = mel.astype(jnp.float32)
     mel = denormalize_mel(mel, params["mel_mean"], params["mel_std"])

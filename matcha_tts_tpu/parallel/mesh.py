@@ -54,15 +54,25 @@ def make_multislice_mesh(n_slices: int,
     devices = jax.devices()
     if per_slice is None:
         per_slice = len(devices) // n_slices
-    try:
+        if n_slices * per_slice != len(devices):
+            raise ValueError(
+                f"{len(devices)} devices do not split into {n_slices} "
+                f"slices; pass per_slice explicitly to use a subset")
+    used = devices[: n_slices * per_slice]
+    # real multi-slice runtimes expose slice_index; there the DCN-aware
+    # grid from mesh_utils is REQUIRED (enumeration order may interleave
+    # slices, which would put DCN hops on the fast "data" axis) and its
+    # errors must propagate, not be papered over
+    slice_ids = {getattr(d, "slice_index", 0) for d in used}
+    if len(slice_ids) > 1:
         from jax.experimental import mesh_utils
 
         grid = mesh_utils.create_hybrid_device_mesh(
-            (1, per_slice), (n_slices, 1),
-            devices=devices[: n_slices * per_slice])
-    except Exception:
-        grid = np.asarray(devices[: n_slices * per_slice]).reshape(
-            n_slices, per_slice)
+            (1, per_slice), (n_slices, 1), devices=used)
+    else:
+        # single slice / CPU simulation: enumeration order keeps
+        # intra-"slice" groups contiguous
+        grid = np.asarray(used).reshape(n_slices, per_slice)
     return Mesh(np.asarray(grid).reshape(n_slices, per_slice),
                 ("dcn", "data"))
 

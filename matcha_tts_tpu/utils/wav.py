@@ -8,32 +8,30 @@ import wave
 import numpy as np
 
 
-def write_wav(path, audio: np.ndarray, sample_rate: int = 22050) -> None:
-    """Write mono float32 [-1, 1] audio as 16-bit PCM WAV."""
+def pcm16_bytes(audio: np.ndarray) -> bytes:
+    """float32 [-1, 1] -> little-endian 16-bit PCM bytes (the one
+    quantization used by file writes, serving WAVs, and PCM streams)."""
     audio = np.asarray(audio, dtype=np.float32).reshape(-1)
-    pcm = np.clip(audio, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype(np.int16)
-    with wave.open(str(path), "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(sample_rate)
-        w.writeframes(pcm.tobytes())
+    return (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
 
 
 def wav_bytes(audio: np.ndarray, sample_rate: int = 22050) -> bytes:
-    """Encode mono float32 [-1, 1] audio as an in-memory 16-bit PCM WAV
-    (serving responses; same encoding as `write_wav`)."""
+    """Encode mono float32 [-1, 1] audio as an in-memory 16-bit PCM WAV."""
     import io
 
     buf = io.BytesIO()
-    audio = np.asarray(audio, dtype=np.float32).reshape(-1)
-    pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(pcm.tobytes())
+        w.writeframes(pcm16_bytes(audio))
     return buf.getvalue()
+
+
+def write_wav(path, audio: np.ndarray, sample_rate: int = 22050) -> None:
+    """Write mono float32 [-1, 1] audio as 16-bit PCM WAV."""
+    with open(path, "wb") as f:
+        f.write(wav_bytes(audio, sample_rate))
 
 
 def read_wav(path):

@@ -243,3 +243,25 @@ def test_multispeaker_batched_synthesis():
     n = min(m0.shape[1], m2.shape[1])
     assert (m0.shape != m2.shape
             or np.abs(m0[:, :n] - m2[:, :n]).max() > 1e-4)
+
+
+def test_batched_noise_is_content_keyed():
+    """A request's audio must not depend on row order or co-batched
+    requests (serving determinism): the same (text, seed) yields identical
+    wavs alone, reordered, and in a different batch, given the same frame
+    bucket."""
+    cfg, hcfg, mp, vp = tiny_models()
+    syn = Synthesizer(mp, cfg, vp, hcfg, text_buckets=(32,),
+                      frame_buckets=(64,), batch_frame_buckets=(64,))
+    a, b, c = "alpha beta", "gamma delta epsilon", "zeta"
+    r_ab = syn.synthesize_batch([a, b], n_timesteps=2, seed=9)
+    r_ba = syn.synthesize_batch([b, a], n_timesteps=2, seed=9)
+    r_ac = syn.synthesize_batch([a, c], n_timesteps=2, seed=9)
+    r_a = syn.synthesize_batch([a], n_timesteps=2, seed=9)
+    # same compiled shape -> bitwise identical regardless of row order
+    # or co-batched content
+    np.testing.assert_array_equal(r_ab[0].wav, r_ba[1].wav)
+    np.testing.assert_array_equal(r_ab[0].wav, r_ac[0].wav)
+    # different batch shape -> same noise, different XLA fusion order:
+    # equal to float tolerance
+    np.testing.assert_allclose(r_ab[0].wav, r_a[0].wav, atol=1e-7)

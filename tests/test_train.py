@@ -198,3 +198,13 @@ def test_mixed_precision_step_runs_and_tracks_fp32():
         outs[mp_flag] = float(m["loss"])
     # bf16 loss within ~1% of fp32 (same data, same key)
     assert abs(outs[True] - outs[False]) / abs(outs[False]) < 0.02, outs
+
+
+def test_multislice_mesh_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="do not split"):
+        pmesh.make_multislice_mesh(3)  # 8 devices don't split into 3
+    # explicit per_slice subset is allowed
+    mesh = pmesh.make_multislice_mesh(3, per_slice=2)
+    assert mesh.devices.size == 6
