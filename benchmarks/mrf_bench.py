@@ -1,0 +1,116 @@
+"""Microbenchmark: one HiFi-GAN MRF level — XLA vs Pallas kernels.
+
+Times the 18-conv 3-branch resblock stack at the deep wav-rate levels
+(C=32, C=64) with the chained-iteration method (docs/RESULTS.md).
+
+Usage: python benchmarks/mrf_bench.py [--frames 768] [--dtype bfloat16]
+       [--impl xla packed] [--channels 32 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+CHAIN = 8
+KERNELS = (3, 7, 11)
+DILS = ((1, 3, 5),) * 3
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=768,
+                   help="mel frames; wav T = frames * 256")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("float32", "bfloat16"))
+    p.add_argument("--impl", nargs="+", default=["xla", "packed"],
+                   choices=("xla", "tap", "packed"))
+    p.add_argument("--channels", nargs="+", type=int, default=[32, 64])
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--tile", type=int, default=0,
+                   help="packed-kernel tile override (0 = auto)")
+    args = p.parse_args(argv)
+
+    from matcha_tts_tpu.models import hifigan
+
+    dtype = jnp.dtype(args.dtype)
+    results = {}
+    for c in args.channels:
+        t = args.frames * 256 // (c // 32)  # C=32 -> x256 level, C=64 -> x128
+        rbs = [hifigan.init_resblock1(jax.random.PRNGKey(i), c, k, (1, 3, 5))
+               for i, k in enumerate(KERNELS)]
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.standard_normal((args.batch, t, c))
+                         .astype(np.float32)).astype(dtype)
+
+        def xla_level(x):
+            ref = None
+            for rb, k in zip(rbs, KERNELS):
+                y = hifigan.resblock1(rb, x, k, (1, 3, 5))
+                ref = y if ref is None else ref + y
+            return ref / 3.0
+
+        impls = {}
+        if "xla" in args.impl:
+            impls["xla"] = xla_level
+        if "packed" in args.impl:
+            from matcha_tts_tpu.ops.pallas.mrf_packed import (
+                mrf_packed, pack_packed_weights)
+
+            wp, bp = pack_packed_weights(rbs, KERNELS, DILS, dtype=dtype)
+
+            def packed_level(x, wp=wp, bp=bp):
+                return mrf_packed(x, wp, bp, KERNELS, DILS, tile=args.tile)
+
+            impls["packed"] = packed_level
+        if "tap" in args.impl:
+            from matcha_tts_tpu.ops.pallas.mrf import mrf_fused, pack_mrf_weights
+
+            w1, b1, w2, b2 = pack_mrf_weights(rbs, KERNELS)
+
+            def tap_level(x, w=(w1, b1, w2, b2)):
+                return mrf_fused(x.astype(jnp.float32), *w,
+                                 kernel_sizes=KERNELS).astype(x.dtype)
+
+            impls["tap"] = tap_level
+
+        for name, fn in impls.items():
+            @jax.jit
+            def chain(x, fn=fn):
+                def body(i, x):
+                    return fn(x) * 0.5
+                return jnp.sum(jax.lax.fori_loop(0, CHAIN, body, x)
+                               .astype(jnp.float32))
+
+            print(f"compiling C={c} {name}...", file=sys.stderr, flush=True)
+            float(chain(x0))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(chain(x0))
+                ts.append((time.perf_counter() - t0) / CHAIN)
+            ms = float(np.median(ts)) * 1e3
+            results[f"c{c}_{name}_ms"] = round(ms, 3)
+            print(f"C={c} T={t} {name}: {ms:.2f} ms", file=sys.stderr,
+                  flush=True)
+
+    print(json.dumps({"metric": "mrf_level_ms", "frames": args.frames,
+                      "dtype": args.dtype, **results}))
+    return results
+
+
+if __name__ == "__main__":
+    main()

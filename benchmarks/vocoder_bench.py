@@ -33,20 +33,26 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=768)
     p.add_argument("--denoise", type=float, default=0.00025,
                    help="denoiser strength (reference notebooks use 0.00025)")
+    p.add_argument("--mrf", default="xla",
+                   choices=("xla", "tap", "packed", "auto"),
+                   help="MRF implementation (HiFiGANConfig.mrf_kernel)")
+    p.add_argument("--dtype", default="float32",
+                   choices=("float32", "bfloat16"))
     args = p.parse_args(argv)
 
     from matcha_tts_tpu.config import HiFiGANConfig
     from matcha_tts_tpu.models import hifigan
     from matcha_tts_tpu.models.denoiser import denoise, make_denoiser
 
-    hcfg = HiFiGANConfig()
+    hcfg = HiFiGANConfig(mrf_kernel=args.mrf)
     vp = hifigan.init_generator(jax.random.PRNGKey(0), hcfg)
     state = make_denoiser(vp, hcfg)
+    dtype = jnp.dtype(args.dtype)
 
     b, t = args.batch, args.frames
     rng = np.random.default_rng(0)
     mel0 = jnp.asarray(rng.standard_normal((b, t, hcfg.num_mels))
-                       .astype(np.float32))
+                       .astype(np.float32)).astype(dtype)
     sr = hcfg.sampling_rate
     audio_sec = b * t * hcfg.total_upsample / sr
 
@@ -55,7 +61,7 @@ def main(argv=None):
         def body(i, carry):
             acc, key = carry
             key = jax.random.fold_in(key, i)
-            noise = jax.random.normal(key, mel0.shape, jnp.float32) * 0.01
+            noise = jax.random.normal(key, mel0.shape, mel0.dtype) * 0.01
             wav = hifigan.generator(vp, mel0 + noise, hcfg)
             return acc + jnp.sum(wav), key
         acc, _ = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0), key))
@@ -68,7 +74,7 @@ def main(argv=None):
         def body(i, carry):
             acc, key = carry
             key = jax.random.fold_in(key, i)
-            noise = jax.random.normal(key, mel0.shape, jnp.float32) * 0.01
+            noise = jax.random.normal(key, mel0.shape, mel0.dtype) * 0.01
             wav = hifigan.generator(vp, mel0 + noise, hcfg)
             den = denoise(state, wav, strength=args.denoise)
             return acc + jnp.sum(den), key

@@ -98,6 +98,14 @@ class HiFiGANConfig:
     # Fuse each level's 3-branch MRF resblock stack into one Pallas kernel
     # where shapes allow (ops/pallas/mrf.py); XLA path otherwise.
     use_pallas: bool = False
+    # MRF implementation: "xla" (lax.conv emitter), "tap" (tap-unrolled
+    # Pallas kernel, ops/pallas/mrf.py), "packed" (time-in-lanes
+    # block-Toeplitz Pallas kernel, ops/pallas/mrf_packed.py), or "auto"
+    # (packed where its shape gate passes, XLA otherwise).  use_pallas=True
+    # with mrf_kernel="xla" keeps its legacy meaning of "tap".
+    # Default "auto": measured on v5e, packed halves the deep-level time
+    # (C=32: 10.3 -> 5.1 ms, C=64: 7.4 -> 4.8 ms per 768-frame pass).
+    mrf_kernel: str = "auto"
 
     @property
     def total_upsample(self) -> int:

@@ -98,15 +98,35 @@ def resblock2(params, x, kernel_size: int, dilations=(1, 3)):
 # ---------------------------------------------------------------------------
 
 
-def _mrf_fusable(cfg: HiFiGANConfig, t: int, c: int) -> bool:
-    """Gate for the fused Pallas MRF path (ops/pallas/mrf.py)."""
-    if not cfg.use_pallas or cfg.resblock != "1":
-        return False
-    if any(tuple(d) != (1, 3, 5) for d in cfg.resblock_dilation_sizes):
-        return False
-    from matcha_tts_tpu.ops.pallas.mrf import mrf_pallas_ok
+def _mrf_mode(cfg: HiFiGANConfig) -> str:
+    mode = getattr(cfg, "mrf_kernel", "xla")
+    if mode == "xla" and cfg.use_pallas:
+        return "tap"  # legacy flag spelling
+    return mode
 
-    return mrf_pallas_ok(t, c)
+
+def _mrf_fusable(cfg: HiFiGANConfig, t: int, c: int) -> str:
+    """Pick the MRF implementation for this level: "packed", "tap", "xla"."""
+    mode = _mrf_mode(cfg)
+    if mode == "xla" or cfg.resblock != "1":
+        return "xla"
+    if any(tuple(d) != (1, 3, 5) for d in cfg.resblock_dilation_sizes):
+        return "xla"
+    if mode == "auto" and jax.default_backend() == "cpu":
+        return "xla"  # Mosaic kernels need a TPU; tests/dryrun run on CPU
+    if mode in ("packed", "auto"):
+        from matcha_tts_tpu.ops.pallas.mrf_packed import mrf_packed_ok
+
+        if mrf_packed_ok(t, c):
+            return "packed"
+        if mode == "packed":
+            return "xla"
+    if mode in ("tap", "auto"):
+        from matcha_tts_tpu.ops.pallas.mrf import mrf_pallas_ok
+
+        if mode == "tap" and mrf_pallas_ok(t, c):
+            return "tap"
+    return "xla"
 
 
 
@@ -150,7 +170,19 @@ def generator(params, mel: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
         x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
         level_blocks = [params["resblocks"][i * n_kernels + j]
                         for j in range(n_kernels)]
-        if _mrf_fusable(cfg, x.shape[1], x.shape[2]):
+        impl = _mrf_fusable(cfg, x.shape[1], x.shape[2])
+        if impl == "packed":
+            from matcha_tts_tpu.ops.pallas.mrf_packed import (
+                mrf_packed, pack_packed_weights)
+
+            dils = tuple(tuple(d) for d in cfg.resblock_dilation_sizes)
+            w, b = pack_packed_weights(level_blocks,
+                                       tuple(cfg.resblock_kernel_sizes),
+                                       dils, dtype=x.dtype)
+            x = mrf_packed(x, w, b,
+                           kernel_sizes=tuple(cfg.resblock_kernel_sizes),
+                           dilations=dils)
+        elif impl == "tap":
             from matcha_tts_tpu.ops.pallas.mrf import mrf_fused, pack_mrf_weights
 
             w1, b1, w2, b2 = pack_mrf_weights(level_blocks,

@@ -169,3 +169,95 @@ def test_block1d_fused_bf16_inputs():
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32), ref,
                                atol=0.1, rtol=0.1)
+
+
+def test_mrf_packed_matches_xla():
+    """Time-in-lanes packed MRF kernel vs the XLA resblock mean, both
+    packing factors (R=4 at C=32, R=2 at C=64), multi-tile halo exchange."""
+    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.ops.pallas.mrf_packed import (mrf_packed,
+                                                      pack_packed_weights)
+
+    rng = np.random.default_rng(7)
+    for c, t, tile in [(32, 256, 64), (32, 1024, 128), (64, 768, 64)]:
+        x = rng.standard_normal((2, t, c)).astype(np.float32)
+        rbs = [hifigan.init_resblock1(jax.random.PRNGKey(i), c, k, (1, 3, 5))
+               for i, k in enumerate((3, 7, 11))]
+        ref = None
+        for rb, k in zip(rbs, (3, 7, 11)):
+            y = hifigan.resblock1(rb, jnp.asarray(x), k, (1, 3, 5))
+            ref = y if ref is None else ref + y
+        ref = np.asarray(ref) / 3.0
+        w, b = pack_packed_weights(rbs)
+        out = np.asarray(mrf_packed(jnp.asarray(x), w, b, tile=tile,
+                                    interpret=True))
+        np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_mrf_packed_bf16():
+    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.ops.pallas.mrf_packed import (mrf_packed,
+                                                      pack_packed_weights)
+
+    rng = np.random.default_rng(8)
+    c, t = 32, 512
+    x = rng.standard_normal((1, t, c)).astype(np.float32)
+    rbs = [hifigan.init_resblock1(jax.random.PRNGKey(i), c, k, (1, 3, 5))
+           for i, k in enumerate((3, 7, 11))]
+    ref = None
+    for rb, k in zip(rbs, (3, 7, 11)):
+        y = hifigan.resblock1(rb, jnp.asarray(x), k, (1, 3, 5))
+        ref = y if ref is None else ref + y
+    ref = np.asarray(ref) / 3.0
+    w, b = pack_packed_weights(rbs, dtype=jnp.bfloat16)
+    out = mrf_packed(jnp.asarray(x, jnp.bfloat16), w, b, tile=64,
+                     interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               atol=0.05, rtol=0.05)
+
+
+def test_mrf_packed_meta_and_gate():
+    from matcha_tts_tpu.ops.pallas.mrf_packed import (mrf_packed_ok,
+                                                      packed_meta)
+
+    specs, n, halo = packed_meta((3, 7, 11), ((1, 3, 5),) * 3, 4)
+    assert n == 92 and halo == 32           # C=32: 92 dense matmuls on T/4
+    specs, n, halo = packed_meta((3, 7, 11), ((1, 3, 5),) * 3, 2)
+    assert n == 126 and halo == 48          # C=64: 126 on T/2 = 2x less MXU
+    # mat indices are contiguous 0..n-1 in walk order
+    seen = [mi for branch in specs for s1, s2 in branch
+            for _, mi in (*s1, *s2)]
+    assert sorted(seen) == list(range(n))
+    assert mrf_packed_ok(196608, 32)        # bench shapes
+    assert mrf_packed_ok(98304, 64)
+    assert not mrf_packed_ok(98304, 128)    # big channels stay on XLA
+    assert not mrf_packed_ok(98306, 64)     # not packing-divisible
+
+
+def test_generator_packed_matches_xla_generator():
+    """Full generator with mrf_kernel='packed' (interpret) vs the XLA
+    generator — exercises the level gate + pack-at-call-site wiring."""
+    from matcha_tts_tpu.config import HiFiGANConfig
+    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.ops.pallas import mrf_packed as mp
+
+    orig = mp.mrf_packed
+    mp.mrf_packed = lambda *a, **kw: orig(*a, **{**kw, "interpret": True,
+                                                 "tile": 64})
+    try:
+        rng = np.random.default_rng(9)
+        cfg_x = HiFiGANConfig()
+        cfg_p = HiFiGANConfig(mrf_kernel="packed")
+        vp = hifigan.init_generator(jax.random.PRNGKey(10), cfg_x)
+        mel = jnp.asarray(rng.standard_normal((1, 8, 80)).astype(np.float32))
+        ref = np.asarray(hifigan.generator(vp, mel, cfg_x))
+        out = np.asarray(hifigan.generator(vp, mel, cfg_p))
+        np.testing.assert_allclose(out, ref, atol=3e-5)
+        # jit over params (the synthesizer jits vocoder_params): weight
+        # packing must be tracer-safe
+        out_jit = np.asarray(jax.jit(
+            lambda p, m: hifigan.generator(p, m, cfg_p))(vp, mel))
+        np.testing.assert_allclose(out_jit, ref, atol=3e-5)
+    finally:
+        mp.mrf_packed = orig
