@@ -42,6 +42,8 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--tile", type=int, default=0,
                    help="packed-kernel tile override (0 = auto)")
+    p.add_argument("--kstack", type=int, default=8,
+                   help="packed-kernel K-stack group size")
     args = p.parse_args(argv)
 
     from matcha_tts_tpu.models import hifigan
@@ -73,7 +75,8 @@ def main(argv=None):
             wp, bp = pack_packed_weights(rbs, KERNELS, DILS, dtype=dtype)
 
             def packed_level(x, wp=wp, bp=bp):
-                return mrf_packed(x, wp, bp, KERNELS, DILS, tile=args.tile)
+                return mrf_packed(x, wp, bp, KERNELS, DILS, tile=args.tile,
+                                  kstack=args.kstack)
 
             impls["packed"] = packed_level
         if "tap" in args.impl:

@@ -116,7 +116,9 @@ def pack_packed_weights(resblocks: Sequence[dict],
                 big = jnp.einsum("qsrt,tio->qsiro", jnp.asarray(p), w)
                 mats.append(big.reshape(len(dm), LANES, LANES))
                 biases.append(jnp.tile(bias, r_pack))
-    return (jnp.concatenate(mats, axis=0).astype(dtype),
+    # 2D layout (N*128, 128): the kernel row-slices contiguous delta runs
+    # for K-stacked dots without an in-kernel reshape.
+    return (jnp.concatenate(mats, axis=0).reshape(-1, LANES).astype(dtype),
             jnp.stack(biases).astype(dtype))
 
 
@@ -133,7 +135,8 @@ def _shift(x: jnp.ndarray, off: int) -> jnp.ndarray:
 
 def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
                        o_ref, xb_ref, act_ref, xt_ref, acc_ref,
-                       *, specs, halo: int, slope: float, fp32: bool):
+                       *, specs, halo: int, slope: float, fp32: bool,
+                       kstack: int):
     i = pl.program_id(1)
     n = pl.num_programs(1)
     tile = x_cur_ref.shape[1]
@@ -156,11 +159,21 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
     def conv_into_xt(spec, bias_idx):
         # SSA accumulation (one store per conv): Mosaic keeps the running
         # sum live instead of read-modify-writing xt_ref per delta.
+        # K-stacking: lane-concat up to `kstack` shifted acts and row-slice
+        # the matching contiguous weight run -> one deep-K MXU dot per
+        # group instead of one K=128 pass per delta.
         acc = jnp.broadcast_to(b_ref[bias_idx].astype(jnp.float32),
                                (ext, LANES))
-        for q, mi in spec:
-            acc = acc + jnp.dot(_shift(act_ref[...], q), w_ref[mi],
-                                precision=prec,
+        for g0 in range(0, len(spec), kstack):
+            grp = spec[g0:g0 + kstack]
+            if len(grp) == 1:
+                lhs = _shift(act_ref[...], grp[0][0])
+            else:
+                lhs = jnp.concatenate(
+                    [_shift(act_ref[...], q) for q, _ in grp], axis=1)
+            m0 = grp[0][1]
+            rhs = w_ref[m0 * LANES:(m0 + len(grp)) * LANES]
+            acc = acc + jnp.dot(lhs, rhs, precision=prec,
                                 preferred_element_type=jnp.float32)
         xt_ref[...] = acc
 
@@ -203,11 +216,11 @@ def mrf_packed_ok(t: int, c: int, fp32: bool = False) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("kernel_sizes", "dilations", "slope",
-                                    "tile", "interpret"))
+                                    "tile", "kstack", "interpret"))
 def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                kernel_sizes: Tuple[int, ...] = _KERNELS,
                dilations: Tuple[Tuple[int, ...], ...] = _DILATIONS,
-               slope: float = 0.1, tile: int = 0,
+               slope: float = 0.1, tile: int = 0, kstack: int = 8,
                interpret: bool = False) -> jnp.ndarray:
     """Fused packed 3-branch MRF: x (B, T, C) -> (B, T, C), C in {32, 64}.
 
@@ -222,12 +235,12 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         tile = _tile_for_packed(tp, fp32, c)
     n_tiles = tp // tile
     specs, n_mats, halo = packed_meta(kernel_sizes, dilations, r_pack)
-    assert w.shape[0] == n_mats, (w.shape, n_mats)
+    assert w.shape == (n_mats * LANES, LANES), (w.shape, n_mats)
     assert halo <= tile, (halo, tile)
 
     xp = x.reshape(bsz, tp, LANES)
     kernel = functools.partial(_mrf_packed_kernel, specs=specs, halo=halo,
-                               slope=slope, fp32=fp32)
+                               slope=slope, fp32=fp32, kstack=kstack)
 
     def idx_prev(bi, ti):
         return (bi, jnp.maximum(ti - 1, 0), 0)
@@ -246,7 +259,7 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             pl.BlockSpec((1, tile, LANES), idx_prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, LANES), idx_cur, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, LANES), idx_next, memory_space=pltpu.VMEM),
-            pl.BlockSpec(w.shape, lambda bi, ti: (0, 0, 0),
+            pl.BlockSpec(w.shape, lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(b.shape, lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
