@@ -37,7 +37,7 @@ def main(argv=None):
     p.add_argument("--dtype", default="bfloat16",
                    choices=("float32", "bfloat16"))
     p.add_argument("--impl", nargs="+", default=["xla", "packed"],
-                   choices=("xla", "tap", "packed"))
+                   choices=("xla", "tap", "packed", "xla_up", "packed_up"))
     p.add_argument("--channels", nargs="+", type=int, default=[32, 64])
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--tile", type=int, default=0,
@@ -79,6 +79,36 @@ def main(argv=None):
                                   kstack=args.kstack)
 
             impls["packed"] = packed_level
+        if "xla_up" in args.impl or "packed_up" in args.impl:
+            # upsample-inclusive variants: time the full generator level
+            # lrelu -> ConvTranspose(k=4,s=2, C 2c->c) -> MRF from the
+            # pre-upsample tensor (B, t/2, 2c)
+            from matcha_tts_tpu.models import nn as mnn
+
+            up = mnn.init_conv_transpose1d(jax.random.PRNGKey(17), 2 * c, c, 4)
+            up = {k: jnp.asarray(v, dtype) for k, v in up.items()}
+            xin = jnp.asarray(rng.standard_normal((args.batch, t // 2, 2 * c))
+                              .astype(np.float32)).astype(dtype)
+
+            if "xla_up" in args.impl:
+                def xla_up_level(x):
+                    y = jax.nn.leaky_relu(x, 0.1)
+                    y = mnn.conv_transpose1d(up, y, stride=2, padding=1)
+                    return xla_level(y)
+
+                impls["xla_up"] = (xla_up_level, xin)
+            if "packed_up" in args.impl:
+                from matcha_tts_tpu.ops.pallas.mrf_packed import (
+                    mrf_packed_up, pack_packed_weights, pack_upsample_weights)
+
+                wupp, bupp = pack_upsample_weights(up, dtype=dtype)
+                wp2, bp2 = pack_packed_weights(rbs, KERNELS, DILS, dtype=dtype)
+
+                def packed_up_level(x, w=(wupp, bupp, wp2, bp2)):
+                    return mrf_packed_up(x, *w, KERNELS, DILS,
+                                         tile=args.tile, kstack=args.kstack)
+
+                impls["packed_up"] = (packed_up_level, xin)
         if "tap" in args.impl:
             from matcha_tts_tpu.ops.pallas.mrf import mrf_fused, pack_mrf_weights
 
@@ -91,19 +121,32 @@ def main(argv=None):
             impls["tap"] = tap_level
 
         for name, fn in impls.items():
-            @jax.jit
-            def chain(x, fn=fn):
-                def body(i, x):
-                    return fn(x) * 0.5
-                return jnp.sum(jax.lax.fori_loop(0, CHAIN, body, x)
-                               .astype(jnp.float32))
+            fn, x_run = fn if isinstance(fn, tuple) else (fn, x0)
+
+            if name.endswith("_up"):
+                # shape-changing level: serialize iterations through a
+                # data-dependent scalar folded into the constant input
+                @jax.jit
+                def chain(x, fn=fn):
+                    def body(i, s):
+                        y = fn(x + s.astype(x.dtype))
+                        return jnp.sum(y.astype(jnp.float32)) * 1e-30
+                    return jax.lax.fori_loop(0, CHAIN, body,
+                                             jnp.float32(0.0))
+            else:
+                @jax.jit
+                def chain(x, fn=fn):
+                    def body(i, x):
+                        return fn(x) * 0.5
+                    return jnp.sum(jax.lax.fori_loop(0, CHAIN, body, x)
+                                   .astype(jnp.float32))
 
             print(f"compiling C={c} {name}...", file=sys.stderr, flush=True)
-            float(chain(x0))
+            float(chain(x_run))
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                float(chain(x0))
+                float(chain(x_run))
                 ts.append((time.perf_counter() - t0) / CHAIN)
             ms = float(np.median(ts)) * 1e3
             results[f"c{c}_{name}_ms"] = round(ms, 3)

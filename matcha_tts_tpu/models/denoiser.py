@@ -9,6 +9,8 @@ overlap-add (ops/stft.py), not cuFFT.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 
 from matcha_tts_tpu.config import HiFiGANConfig
@@ -36,7 +38,11 @@ def make_denoiser(vocoder_params, cfg: HiFiGANConfig, filter_length: int = 1024,
         mel = jnp.zeros((1, 88, cfg.num_mels), jnp.float32)  # (B, T, C)
     else:
         raise ValueError(f"Mode {mode} not supported")
-    bias_audio = generator(vocoder_params, mel, cfg)[0]  # (T,)
+    # One-time fp32 probe at init: force the XLA conv path so no fp32
+    # Pallas kernel variants are compiled just for this (compile latency
+    # dominates; the probe itself runs once on an 88-frame mel).
+    cfg_xla = dataclasses.replace(cfg, mrf_kernel="xla", use_pallas=False)
+    bias_audio = generator(vocoder_params, mel, cfg_xla)[0]  # (T,)
     hop = int(filter_length / n_overlap)
     mag, _ = stft_magnitude_and_phase(bias_audio, filter_length, hop, win_length,
                                       center=True)

@@ -166,10 +166,33 @@ def generator(params, mel: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
     x = nn.conv1d(params["conv_pre"], mel, padding=3)
     n_kernels = len(cfg.resblock_kernel_sizes)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
-        x = _lrelu(x)
-        x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
         level_blocks = [params["resblocks"][i * n_kernels + j]
                         for j in range(n_kernels)]
+        out_ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+        t_out = x.shape[1] * u
+        impl = _mrf_fusable(cfg, t_out, out_ch)
+        if (impl == "packed" and u == 2 and k == 4
+                and out_ch * 2 == x.shape[2]):
+            # Deepest two V1 levels: fuse LeakyReLU -> ConvTranspose -> MRF
+            # into one kernel (hifigan/models.py:181-192), skipping the
+            # wav-rate HBM round trip of the upsampled tensor.
+            from matcha_tts_tpu.ops.pallas.mrf_packed import (
+                mrf_packed_up, mrf_packed_up_ok, pack_packed_weights,
+                pack_upsample_weights)
+
+            if mrf_packed_up_ok(t_out, out_ch, x.dtype == jnp.float32):
+                dils = tuple(tuple(d) for d in cfg.resblock_dilation_sizes)
+                wup, bup = pack_upsample_weights(params["ups"][i],
+                                                 dtype=x.dtype)
+                w, b = pack_packed_weights(
+                    level_blocks, tuple(cfg.resblock_kernel_sizes), dils,
+                    dtype=x.dtype)
+                x = mrf_packed_up(x, wup, bup, w, b,
+                                  kernel_sizes=tuple(cfg.resblock_kernel_sizes),
+                                  dilations=dils)
+                continue
+        x = _lrelu(x)
+        x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
         impl = _mrf_fusable(cfg, x.shape[1], x.shape[2])
         if impl == "packed":
             from matcha_tts_tpu.ops.pallas.mrf_packed import (

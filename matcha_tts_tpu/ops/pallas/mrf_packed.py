@@ -31,6 +31,17 @@ fp32 accumulation; fp32 inputs use HIGHEST-precision dots for parity.
 Reference semantics reproduced: LeakyReLU(0.1) -> dilated conv -> LReLU
 -> conv -> residual add, branch mean (hifigan/models.py:74-97, 186-192),
 zero 'same' padding at the sequence edges.
+
+Three variants share the kernel body:
+  * mrf_packed, C in {32, 64}: lane-packed MRF level;
+  * mrf_packed, C = 128: degenerate r_pack=1 (no packing win, but the
+    whole 18-conv chain still runs HBM-round-trip-free);
+  * mrf_packed_up: additionally fuses the level's LeakyReLU ->
+    ConvTranspose1d(k=4, s=2, C 2c->c) upsample prologue
+    (hifigan/models.py:181-185) as block-Toeplitz dots — the packed
+    super-row count is invariant across a stride-2 upsample (frames
+    double, frames per lane row double), so the same grid serves both
+    sides and the wav-rate upsampled tensor never touches HBM.
 """
 
 from __future__ import annotations
@@ -122,6 +133,58 @@ def pack_packed_weights(resblocks: Sequence[dict],
             jnp.stack(biases).astype(dtype))
 
 
+def upsample_meta(u: int, k: int, padding: int, r_in: int):
+    """Super-row shifts q for a stride-u ConvTranspose under packing with
+    R_in input frames per row and R_out = u*R_in output frames per row.
+
+    The stored weight layout is already flipped (models/nn.py:137-147): the
+    transpose conv runs as a plain conv over the u-dilated input with
+    pad' = k - 1 - padding, so output frame t_out reads dilated index
+    t_out + tap - pad', i.e. input frame (t_out + tap - pad')/u when
+    divisible.  In packed coords (t_out = s*uR_in + r):
+        (q, r_in) = divmod((r + tap - pad') // u, R_in).
+    """
+    padp = k - 1 - padding
+    qs = set()
+    for r in range(u * r_in):
+        for tap in range(k):
+            m = r + tap - padp
+            if m % u == 0:
+                q, _ = divmod(m // u, r_in)
+                qs.add(q)
+    return tuple(sorted(qs))
+
+
+def pack_upsample_weights(up_params: dict, u: int = 2,
+                          padding: int = 1, dtype=jnp.float32):
+    """Pack one ConvTranspose1d level (weight (W, C_in, C_out) in the
+    flipped (W, I, O) store layout, models/nn.py:137-147) into super-row
+    block-Toeplitz form for the fused upsample+MRF kernel.
+
+    Returns (wup, bup): wup (n_q*128, 128), bup (1, 128) with the conv
+    bias tiled over the R_out output frames per lane row."""
+    w = jnp.asarray(up_params["weight"], jnp.float32)  # (W, I, O)
+    k, c_in, co = w.shape[0], w.shape[1], w.shape[2]
+    r_in = LANES // c_in
+    r_out = u * r_in
+    padp = k - 1 - padding
+    qs = upsample_meta(u, k, padding, r_in)
+    # P[qi, r_in, tap, r] = 1 where input (q, r_in) feeds output frame r
+    p = np.zeros((len(qs), r_in, k, r_out), np.float32)
+    for r in range(r_out):
+        for tap in range(k):
+            m = r + tap - padp
+            if m % u == 0:
+                q, ri = divmod(m // u, r_in)
+                p[qs.index(q), ri, tap, r] = 1.0
+    big = jnp.einsum("qstr,tio->qsiro", jnp.asarray(p), w)
+    wup = big.reshape(len(qs) * LANES, LANES).astype(dtype)
+    bias = (jnp.asarray(up_params["bias"], jnp.float32)
+            if "bias" in up_params else jnp.zeros((co,), jnp.float32))
+    bup = jnp.tile(bias, r_out).reshape(1, LANES).astype(dtype)
+    return wup, bup
+
+
 def _shift(x: jnp.ndarray, off: int) -> jnp.ndarray:
     """Shift rows by `off` with zero fill (off > 0 pulls future rows up)."""
     t, c = x.shape
@@ -134,17 +197,27 @@ def _shift(x: jnp.ndarray, off: int) -> jnp.ndarray:
 
 
 def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
-                       o_ref, xb_ref, act_ref, xt_ref, acc_ref,
-                       *, specs, halo: int, slope: float, fp32: bool,
-                       kstack: int):
+                       *refs, specs, halo: int, slope: float, fp32: bool,
+                       kstack: int, up_qs: tuple = (), hup: int = 0):
+    up_nq = len(up_qs)
+    if up_nq:
+        (wup_ref, bup_ref, o_ref, xb_ref, act_ref, xt_ref, acc_ref,
+         xup_ref, actin_ref) = refs
+    else:
+        o_ref, xb_ref, act_ref, xt_ref, acc_ref = refs
+        wup_ref = bup_ref = xup_ref = actin_ref = None
     i = pl.program_id(1)
     n = pl.num_programs(1)
     tile = x_cur_ref.shape[1]
     ext = tile + 2 * halo
     prec = jax.lax.Precision.HIGHEST if fp32 else None
 
-    prev_tail = x_prev_ref[0, -halo:, :].astype(jnp.float32)
-    next_head = x_next_ref[0, :halo, :].astype(jnp.float32)
+    # Input halo: the MRF chain's receptive field, plus (fused-upsample
+    # only) the transpose conv's own super-row reach padded to a full
+    # sublane group.
+    hin = halo + hup
+    prev_tail = x_prev_ref[0, -hin:, :].astype(jnp.float32)
+    next_head = x_next_ref[0, :hin, :].astype(jnp.float32)
     # zero the halo at the sequence edges (index maps clamp at the ends)
     prev_tail = jnp.where(i == 0, 0.0, prev_tail)
     next_head = jnp.where(i == n - 1, 0.0, next_head)
@@ -177,11 +250,43 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
                                 preferred_element_type=jnp.float32)
         xt_ref[...] = acc
 
+    if up_nq:
+        # Fused-upsample prologue: the refs hold the C_in-packed PRE-lrelu
+        # input of the level; build LeakyReLU -> ConvTranspose into xup as
+        # one lane-stacked block-Toeplitz dot, then the MRF chain below
+        # uses xup as its residual base (reference hifigan/models.py:186:
+        # x = ups[i](lrelu(x)) feeds the resblocks).
+        ein = ext + 2 * hup
+        xin = jnp.concatenate(
+            [prev_tail, x_cur_ref[0].astype(jnp.float32), next_head], axis=0)
+        rows_in = jax.lax.broadcasted_iota(jnp.int32, (ein, 1), 0)
+        lin = jnp.logical_or(i > 0, rows_in >= hin)
+        rin = jnp.logical_or(i < n - 1, rows_in < hin + tile)
+        vin = jnp.logical_and(lin, rin).astype(jnp.float32)
+        actin_ref[...] = (jax.nn.leaky_relu(xin, slope)
+                          * vin).astype(actin_ref.dtype)
+        # one dot per super-row shift (Mosaic cannot lane-concat slices
+        # whose sublane offsets differ, so no K-stacking here; it is only
+        # 3 dots per level)
+        actin = actin_ref[...]
+        upacc = jnp.broadcast_to(bup_ref[...].astype(jnp.float32),
+                                 (ext, LANES))
+        for qi, q in enumerate(up_qs):
+            upacc = upacc + jnp.dot(
+                actin[hup + q:hup + q + ext],
+                wup_ref[qi * LANES:(qi + 1) * LANES],
+                precision=prec, preferred_element_type=jnp.float32)
+        xup_ref[...] = upacc
+
     acc_ref[...] = jnp.zeros_like(acc_ref)
     conv_ord = 0
     for branch in specs:
-        xb_ref[...] = jnp.concatenate(
-            [prev_tail, x_cur_ref[0].astype(jnp.float32), next_head], axis=0)
+        if up_nq:
+            xb_ref[...] = xup_ref[...]
+        else:
+            xb_ref[...] = jnp.concatenate(
+                [prev_tail, x_cur_ref[0].astype(jnp.float32), next_head],
+                axis=0)
         for spec1, spec2 in branch:
             act_ref[...] = (jax.nn.leaky_relu(xb_ref[...], slope)
                             * valid).astype(act_ref.dtype)
@@ -198,7 +303,10 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
 def _tile_for_packed(tp: int, fp32: bool, c: int = 32) -> int:
     """Largest tile (rows of packed super-frames) dividing tp that keeps
     weights + 4 scratch buffers + pipeline blocks under ~13 MB VMEM."""
-    cap = (512 if c == 64 else 1024) if fp32 else 2048
+    # fp32 doubles both the resident packed weights (up to 9.4 MB at C=64,
+    # 8.1 MB at C=128) and the K-stack concat temporary, so its tiles must
+    # shrink to stay inside the 16 MB scoped-VMEM budget.
+    cap = (256 if c == 128 else 512 if c == 64 else 1024) if fp32 else 2048
     t = cap
     while t >= 128:
         if tp % t == 0:
@@ -208,8 +316,11 @@ def _tile_for_packed(tp: int, fp32: bool, c: int = 32) -> int:
 
 
 def mrf_packed_ok(t: int, c: int, fp32: bool = False) -> bool:
-    """Gate: lane-divisible channel widths and a tileable packed length."""
-    if c not in (32, 64) or t % (LANES // c) != 0:
+    """Gate: lane-divisible channel widths and a tileable packed length.
+
+    C=128 is the degenerate r_pack=1 case (no lane packing, pure fusion of
+    the 18-conv level into one VMEM-resident chain)."""
+    if c not in (32, 64, 128) or t % (LANES // c) != 0:
         return False
     return _tile_for_packed(t // (LANES // c), fp32, c) > 0
 
@@ -220,9 +331,9 @@ def mrf_packed_ok(t: int, c: int, fp32: bool = False) -> bool:
 def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                kernel_sizes: Tuple[int, ...] = _KERNELS,
                dilations: Tuple[Tuple[int, ...], ...] = _DILATIONS,
-               slope: float = 0.1, tile: int = 0, kstack: int = 8,
+               slope: float = 0.1, tile: int = 0, kstack: int = 16,
                interpret: bool = False) -> jnp.ndarray:
-    """Fused packed 3-branch MRF: x (B, T, C) -> (B, T, C), C in {32, 64}.
+    """Fused packed 3-branch MRF: x (B, T, C) -> (B, T, C), C in {32, 64, 128}.
 
     w, b from pack_packed_weights (same dtype as x for bf16; fp32 inputs
     run HIGHEST-precision dots for parity with the XLA conv path).
@@ -231,6 +342,11 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     r_pack = LANES // c
     tp = t // r_pack
     fp32 = x.dtype == jnp.float32
+    if fp32:
+        # the fp32 path exists for parity/precision (denoiser bias spec,
+        # tests), not speed; kstack=16 concat temporaries at fp32 blow the
+        # scoped-VMEM budget next to the 2x-size packed weights.
+        kstack = min(kstack, 8)
     if tile == 0:
         tile = _tile_for_packed(tp, fp32, c)
     n_tiles = tp // tile
@@ -276,3 +392,110 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         interpret=interpret,
     )(xp, xp, xp, w, b)
     return out.reshape(bsz, t, c)
+
+
+def mrf_packed_up_ok(t_out: int, c_out: int, fp32: bool = False,
+                     stride: int = 2, up_k: int = 4) -> bool:
+    """Gate for the fused LeakyReLU->ConvTranspose->MRF level: stride-2
+    channel-halving upsamples only (HiFi-GAN V1's two deepest levels,
+    hifigan/config.py:9-10: rates (8,8,2,2), kernels (16,16,4,4))."""
+    if stride != 2 or up_k != 4 or c_out not in (32, 64):
+        return False
+    if t_out % (LANES // c_out) != 0:
+        return False
+    return _tile_for_packed(t_out // (LANES // c_out), fp32, c_out) > 0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kernel_sizes", "dilations", "slope",
+                                    "stride", "up_k", "up_padding", "tile",
+                                    "kstack", "interpret"))
+def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
+                  w: jnp.ndarray, b: jnp.ndarray,
+                  kernel_sizes: Tuple[int, ...] = _KERNELS,
+                  dilations: Tuple[Tuple[int, ...], ...] = _DILATIONS,
+                  slope: float = 0.1, stride: int = 2, up_k: int = 4,
+                  up_padding: int = 1, tile: int = 0, kstack: int = 16,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Fused generator level: x (B, T_in, C_in) -> (B, T_in*stride, C_in//2).
+
+    Computes LeakyReLU(x) -> ConvTranspose1d(stride, up_k, up_padding) ->
+    3-branch MRF mean in ONE kernel (reference hifigan/models.py:181-192),
+    saving the wav-rate HBM round trip of the upsampled tensor.  The packed
+    super-row count is invariant across the upsample (frames double, frames
+    per lane row double), so input and output share the same grid/tiles.
+
+    wup, bup from pack_upsample_weights; w, b from pack_packed_weights
+    built for C_out = C_in // stride.
+    """
+    bsz, t_in, c_in = x.shape
+    assert stride == 2 and c_in in (64, 128), (stride, c_in)
+    c_out = c_in // stride
+    r_in = LANES // c_in
+    r_out = stride * r_in
+    tp = t_in // r_in
+    fp32 = x.dtype == jnp.float32
+    if fp32:
+        kstack = min(kstack, 8)  # see mrf_packed
+    if tile == 0:
+        tile = _tile_for_packed(tp, fp32, c_out)
+        if fp32:
+            # the fused variant adds the upsample scratches and keeps more
+            # concat temporaries live; measured 22.2 MB scoped VMEM at
+            # C_out=64 tile=512 fp32 — quarter the tile to fit.
+            tile = max(128, tile // 4)
+    n_tiles = tp // tile
+    specs, n_mats, halo = packed_meta(kernel_sizes, dilations, r_out)
+    up_qs = upsample_meta(stride, up_k, up_padding, r_in)
+    hup = 16  # max |q| is 1 for stride-2 k=4; padded to one sublane group
+    assert max(abs(q) for q in up_qs) <= hup
+    assert w.shape == (n_mats * LANES, LANES), (w.shape, n_mats)
+    assert wup.shape == (len(up_qs) * LANES, LANES), (wup.shape, up_qs)
+    assert halo + hup <= tile, (halo, hup, tile)
+
+    xp = x.reshape(bsz, tp, LANES)
+    kernel = functools.partial(_mrf_packed_kernel, specs=specs, halo=halo,
+                               slope=slope, fp32=fp32, kstack=kstack,
+                               up_qs=up_qs, hup=hup)
+
+    def idx_prev(bi, ti):
+        return (bi, jnp.maximum(ti - 1, 0), 0)
+
+    def idx_cur(bi, ti):
+        return (bi, ti, 0)
+
+    def idx_next(bi, ti):
+        return (bi, jnp.minimum(ti + 1, n_tiles - 1), 0)
+
+    act_dtype = jnp.float32 if fp32 else jnp.bfloat16
+    ext = tile + 2 * halo
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, LANES), idx_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, LANES), idx_cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, LANES), idx_next, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w.shape, lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wup.shape, lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bup.shape, lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, LANES), idx_cur,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, tp, LANES), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ext, LANES), jnp.float32),               # xb
+            pltpu.VMEM((ext, LANES), act_dtype),                 # act
+            pltpu.VMEM((ext, LANES), jnp.float32),               # xt
+            pltpu.VMEM((tile, LANES), jnp.float32),              # acc
+            pltpu.VMEM((ext, LANES), jnp.float32),               # xup
+            pltpu.VMEM((ext + 2 * hup, LANES), act_dtype),       # actin
+        ],
+        interpret=interpret,
+    )(xp, xp, xp, w, b, wup, bup)
+    return out.reshape(bsz, t_in * stride, c_out)

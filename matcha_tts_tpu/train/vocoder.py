@@ -11,6 +11,7 @@ vendored config (hifigan/config.py:4-8).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple, Tuple
 
@@ -88,6 +89,16 @@ def _check_wn(state: GanTrainState, weight_norm: bool):
             f"weight_norm={weight_norm}")
 
 
+def _xla_generator_cfg(hcfg: HiFiGANConfig) -> HiFiGANConfig:
+    """Training differentiates through the generator; the packed MRF
+    Pallas kernels have no VJP, so the train steps pin the XLA conv path
+    (batched GAN training is MXU-bound — the kernels target batch-1
+    latency anyway)."""
+    if getattr(hcfg, "mrf_kernel", "xla") == "xla" and not hcfg.use_pallas:
+        return hcfg
+    return dataclasses.replace(hcfg, mrf_kernel="xla", use_pallas=False)
+
+
 def _mel(audio, acfg: AudioConfig):
     return log_mel_spectrogram(
         audio, acfg.sample_rate, acfg.n_fft, acfg.n_mels, acfg.hop_length,
@@ -102,6 +113,7 @@ def gan_disc_step(state: GanTrainState, audio: jnp.ndarray,
                   weight_norm: bool = False):
     """Discriminator update (LS-GAN): real audio vs generator(mel(real))."""
     _check_wn(state, weight_norm)
+    hcfg = _xla_generator_cfg(hcfg)
     gen_plain = wn.fold(state.gen_params) if weight_norm else state.gen_params
     mel = _mel(audio, acfg).transpose(0, 2, 1)
     fake = hifigan.generator(gen_plain, mel, hcfg)
@@ -132,6 +144,7 @@ def gan_gen_step(state: GanTrainState, audio: jnp.ndarray,
     """Generator update: LS-GAN + feature matching + 45x mel L1 (the
     standard HiFi-GAN recipe the vendored losses implement)."""
     _check_wn(state, weight_norm)
+    hcfg = _xla_generator_cfg(hcfg)
     mel_real = _mel(audio, acfg)
     disc_plain = (wn.fold(state.disc_params) if weight_norm
                   else state.disc_params)

@@ -179,7 +179,8 @@ def test_mrf_packed_matches_xla():
                                                       pack_packed_weights)
 
     rng = np.random.default_rng(7)
-    for c, t, tile in [(32, 256, 64), (32, 1024, 128), (64, 768, 64)]:
+    for c, t, tile in [(32, 256, 64), (32, 1024, 128), (64, 768, 64),
+                       (128, 384, 128)]:
         x = rng.standard_normal((2, t, c)).astype(np.float32)
         rbs = [hifigan.init_resblock1(jax.random.PRNGKey(i), c, k, (1, 3, 5))
                for i, k in enumerate((3, 7, 11))]
@@ -217,6 +218,41 @@ def test_mrf_packed_bf16():
                                atol=0.05, rtol=0.05)
 
 
+def test_mrf_packed_up_matches_xla():
+    """Fused LeakyReLU -> ConvTranspose(k=4,s=2) -> MRF level vs the XLA
+    three-op chain, both deep-level channel pairs, multi-tile."""
+    from matcha_tts_tpu.models import hifigan, nn
+    from matcha_tts_tpu.ops.pallas.mrf_packed import (
+        mrf_packed_up, mrf_packed_up_ok, pack_packed_weights,
+        pack_upsample_weights, upsample_meta)
+
+    assert upsample_meta(2, 4, 1, 1) == (-1, 0, 1)
+    assert upsample_meta(2, 4, 1, 2) == (-1, 0, 1)
+    key = jax.random.PRNGKey(3)
+    for c_in, t_in in ((64, 512), (128, 256)):
+        c_out, t_out = c_in // 2, t_in * 2
+        assert mrf_packed_up_ok(t_out, c_out, fp32=True)
+        up = nn.init_conv_transpose1d(jax.random.PRNGKey(9), c_in, c_out, 4)
+        rbs = [hifigan.init_resblock1(k, c_out, kk, (1, 3, 5))
+               for k, kk in zip(jax.random.split(key, 3), (3, 7, 11))]
+        x = jax.random.normal(jax.random.PRNGKey(c_in), (1, t_in, c_in),
+                              jnp.float32)
+        y = jax.nn.leaky_relu(x, 0.1)
+        y = nn.conv_transpose1d(up, y, stride=2, padding=1)
+        ref = None
+        for rb, k in zip(rbs, (3, 7, 11)):
+            z = hifigan.resblock1(rb, y, k, (1, 3, 5))
+            ref = z if ref is None else ref + z
+        ref = np.asarray(ref) / 3.0
+        wup, bup = pack_upsample_weights(up)
+        w, b = pack_packed_weights(rbs)
+        out = np.asarray(mrf_packed_up(x, wup, bup, w, b, tile=128,
+                                       interpret=True))
+        np.testing.assert_allclose(out, ref, atol=3e-5)
+    assert not mrf_packed_up_ok(2048, 128)   # only the two deepest levels
+    assert not mrf_packed_up_ok(2048, 32, stride=8, up_k=16)
+
+
 def test_mrf_packed_meta_and_gate():
     from matcha_tts_tpu.ops.pallas.mrf_packed import (mrf_packed_ok,
                                                       packed_meta)
@@ -225,13 +261,16 @@ def test_mrf_packed_meta_and_gate():
     assert n == 92 and halo == 32           # C=32: 92 dense matmuls on T/4
     specs, n, halo = packed_meta((3, 7, 11), ((1, 3, 5),) * 3, 2)
     assert n == 126 and halo == 48          # C=64: 126 on T/2 = 2x less MXU
+    specs, n, halo = packed_meta((3, 7, 11), ((1, 3, 5),) * 3, 1)
+    assert n == 126 and halo == 64          # C=128: r_pack=1, pure fusion
     # mat indices are contiguous 0..n-1 in walk order
     seen = [mi for branch in specs for s1, s2 in branch
             for _, mi in (*s1, *s2)]
     assert sorted(seen) == list(range(n))
     assert mrf_packed_ok(196608, 32)        # bench shapes
     assert mrf_packed_ok(98304, 64)
-    assert not mrf_packed_ok(98304, 128)    # big channels stay on XLA
+    assert mrf_packed_ok(49152, 128)        # r_pack=1 level, also fused
+    assert not mrf_packed_ok(49152, 256)    # >128 channels stay on XLA
     assert not mrf_packed_ok(98306, 64)     # not packing-divisible
 
 
@@ -243,8 +282,12 @@ def test_generator_packed_matches_xla_generator():
     from matcha_tts_tpu.ops.pallas import mrf_packed as mp
 
     orig = mp.mrf_packed
+    orig_up = mp.mrf_packed_up
     mp.mrf_packed = lambda *a, **kw: orig(*a, **{**kw, "interpret": True,
                                                  "tile": 64})
+    mp.mrf_packed_up = lambda *a, **kw: orig_up(*a, **{**kw,
+                                                       "interpret": True,
+                                                       "tile": 64})
     try:
         rng = np.random.default_rng(9)
         cfg_x = HiFiGANConfig()
@@ -261,3 +304,4 @@ def test_generator_packed_matches_xla_generator():
         np.testing.assert_allclose(out_jit, ref, atol=3e-5)
     finally:
         mp.mrf_packed = orig
+        mp.mrf_packed_up = orig_up
