@@ -57,6 +57,11 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=768)
     p.add_argument("--sweep", action="store_true")
     p.add_argument("--trace", type=str, default=None)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("float32", "bfloat16"),
+                   help="compute dtype (bfloat16 is the idiomatic TPU "
+                        "inference dtype; fp32 at large batch can exceed "
+                        "HBM on the XLA vocoder path)")
     args = p.parse_args(argv)
 
     from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
@@ -95,14 +100,18 @@ def main(argv=None):
         acc, _ = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0), key))
         return acc
 
+    dt = jnp.dtype(args.dtype)
+    voc_c = jax.tree.map(lambda a: a.astype(dt), voc)
+    mel0_c = mel0.astype(dt)
+
     @jax.jit
     def voc_chain(key):
         def body(i, carry):
             acc, key = carry
             key = jax.random.fold_in(key, i)
             noise = jax.random.normal(key, mel0.shape, jnp.float32) * 0.01
-            wav = hifigan.generator(voc, mel0 + noise, hcfg)
-            return acc + jnp.sum(wav), key
+            wav = hifigan.generator(voc_c, mel0_c + noise.astype(dt), hcfg)
+            return acc + jnp.sum(wav.astype(jnp.float32)), key
         acc, _ = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0), key))
         return acc
 
@@ -114,7 +123,7 @@ def main(argv=None):
                 key = jax.random.fold_in(key, i)
                 out, wav = _synthesize_to_wav.__wrapped__(
                     params, voc, key, xd, xl, cfg, hcfg, nfe, t_y,
-                    0.667, 1.0, None, "float32")
+                    0.667, 1.0, None, args.dtype)
                 return acc + jnp.sum(wav), key
             acc, _ = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0), key))
             return acc
@@ -129,6 +138,7 @@ def main(argv=None):
         t_full = chained_time(full_chain(nfe))
         rec = {
             "nfe": nfe, "batch": b, "tokens": t_x, "frames": t_y,
+            "dtype": args.dtype,
             "encode_ms": t_enc * 1e3,
             "vocode_ms": t_voc * 1e3,
             "full_graph_ms": t_full * 1e3,

@@ -105,7 +105,8 @@ def _mrf_mode(cfg: HiFiGANConfig) -> str:
     return mode
 
 
-def _mrf_fusable(cfg: HiFiGANConfig, t: int, c: int) -> str:
+def _mrf_fusable(cfg: HiFiGANConfig, t: int, c: int,
+                 dtype=jnp.bfloat16) -> str:
     """Pick the MRF implementation for this level: "packed", "tap", "xla"."""
     mode = _mrf_mode(cfg)
     if mode == "xla" or cfg.resblock != "1":
@@ -114,6 +115,13 @@ def _mrf_fusable(cfg: HiFiGANConfig, t: int, c: int) -> str:
         return "xla"
     if mode == "auto" and jax.default_backend() == "cpu":
         return "xla"  # Mosaic kernels need a TPU; tests/dryrun run on CPU
+    if mode == "auto" and dtype != jnp.bfloat16:
+        # fp32 kernels run HIGHEST-precision dots (a parity/precision
+        # mode, ~3-6x the MXU passes): measured 3.4x SLOWER than XLA's
+        # default-precision fp32 convs at batch 32.  auto picks them only
+        # for the bf16 inference dtype; mrf_kernel="packed" still forces
+        # the fp32 kernels for parity work.
+        return "xla"
     if mode in ("packed", "auto"):
         from matcha_tts_tpu.ops.pallas.mrf_packed import mrf_packed_ok
 
@@ -170,7 +178,7 @@ def generator(params, mel: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
                         for j in range(n_kernels)]
         out_ch = cfg.upsample_initial_channel // (2 ** (i + 1))
         t_out = x.shape[1] * u
-        impl = _mrf_fusable(cfg, t_out, out_ch)
+        impl = _mrf_fusable(cfg, t_out, out_ch, x.dtype)
         if (impl == "packed" and u == 2 and k == 4
                 and out_ch * 2 == x.shape[2]):
             # Deepest two V1 levels: fuse LeakyReLU -> ConvTranspose -> MRF
@@ -193,7 +201,7 @@ def generator(params, mel: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
                 continue
         x = _lrelu(x)
         x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
-        impl = _mrf_fusable(cfg, x.shape[1], x.shape[2])
+        impl = _mrf_fusable(cfg, x.shape[1], x.shape[2], x.dtype)
         if impl == "packed":
             from matcha_tts_tpu.ops.pallas.mrf_packed import (
                 mrf_packed, pack_packed_weights)
