@@ -229,13 +229,13 @@ def test_mrf_packed_up_matches_xla():
     assert upsample_meta(2, 4, 1, 1) == (-1, 0, 1)
     assert upsample_meta(2, 4, 1, 2) == (-1, 0, 1)
     key = jax.random.PRNGKey(3)
-    for c_in, t_in in ((64, 512), (128, 256)):
+    for bsz, (c_in, t_in) in ((1, (64, 512)), (2, (128, 256))):
         c_out, t_out = c_in // 2, t_in * 2
         assert mrf_packed_up_ok(t_out, c_out, fp32=True)
         up = nn.init_conv_transpose1d(jax.random.PRNGKey(9), c_in, c_out, 4)
         rbs = [hifigan.init_resblock1(k, c_out, kk, (1, 3, 5))
                for k, kk in zip(jax.random.split(key, 3), (3, 7, 11))]
-        x = jax.random.normal(jax.random.PRNGKey(c_in), (1, t_in, c_in),
+        x = jax.random.normal(jax.random.PRNGKey(c_in), (bsz, t_in, c_in),
                               jnp.float32)
         y = jax.nn.leaky_relu(x, 0.1)
         y = nn.conv_transpose1d(up, y, stride=2, padding=1)
