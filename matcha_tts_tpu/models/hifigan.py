@@ -195,6 +195,25 @@ def generator(params, mel: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
                 w, b = pack_packed_weights(
                     level_blocks, tuple(cfg.resblock_kernel_sizes), dils,
                     dtype=x.dtype)
+                kpost = params["conv_post"]["weight"].shape[0]
+                if (i == len(cfg.upsample_rates) - 1 and kpost == 7
+                        and params["conv_post"]["weight"].shape[2] == 1):
+                    # last level: also fold the generator tail
+                    # LReLU(0.01) -> conv_post -> tanh into the kernel
+                    # (hifigan/models.py:193-196) and return the wav
+                    # directly from the packed second output.
+                    from matcha_tts_tpu.ops.pallas.mrf_packed import (
+                        pack_convpost_weights)
+
+                    wpost, bpost, _ = pack_convpost_weights(
+                        params["conv_post"], out_ch, dtype=x.dtype)
+                    _, wavp = mrf_packed_up(
+                        x, wup, bup, w, b,
+                        kernel_sizes=tuple(cfg.resblock_kernel_sizes),
+                        dilations=dils, wpost=wpost, bpost=bpost,
+                        post_k=kpost)
+                    bsz = wavp.shape[0]
+                    return wavp.reshape(bsz, -1, out_ch)[..., 0]
                 x = mrf_packed_up(x, wup, bup, w, b,
                                   kernel_sizes=tuple(cfg.resblock_kernel_sizes),
                                   dilations=dils)

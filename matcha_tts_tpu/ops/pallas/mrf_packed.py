@@ -185,6 +185,36 @@ def pack_upsample_weights(up_params: dict, u: int = 2,
     return wup, bup
 
 
+def pack_convpost_weights(post_params: dict, c: int = 32,
+                          dtype=jnp.float32):
+    """Pack conv_post (k=7, C->1, 'same' padding; hifigan/models.py:176,
+    194-196) into super-row block-Toeplitz form over the C=32 packed
+    layout.  The single output channel lands in lane r*C of each packed
+    row (frame r's channel-0 slot); the host reads the wav back with a
+    strided slice.
+
+    Returns (wpost, bpost, qs): wpost (n_q*128, 128), bpost (1, 128) with
+    the scalar bias in every lane (only the r*C lanes are meaningful)."""
+    w = jnp.asarray(post_params["weight"], jnp.float32)  # (k, C, 1)
+    k = w.shape[0]
+    r_pack = LANES // c
+    dm = _delta_map(k, 1, r_pack)
+    qs = tuple(dm)
+    p = np.zeros((len(qs), r_pack, r_pack, k), np.float32)
+    for qi, (q, places) in enumerate(dm.items()):
+        for tap, r2, r in places:
+            p[qi, r2, r, tap] = 1.0
+    # big[q, r2, ci, r, co] with co a single channel -> broadcast into the
+    # r*C + 0 column of each output frame slot
+    big = jnp.einsum("qsrt,tio->qsiro", jnp.asarray(p), w)  # (..., r, 1)
+    full = jnp.zeros((len(qs), r_pack, c, r_pack, c), jnp.float32)
+    full = full.at[:, :, :, :, 0].set(big[..., 0])
+    wpost = full.reshape(len(qs) * LANES, LANES).astype(dtype)
+    bias = jnp.asarray(post_params.get("bias", jnp.zeros((1,))), jnp.float32)
+    bpost = jnp.full((1, LANES), bias[0], jnp.float32).astype(dtype)
+    return wpost, bpost, qs
+
+
 def _shift(x: jnp.ndarray, off: int) -> jnp.ndarray:
     """Shift rows by `off` with zero fill (off > 0 pulls future rows up)."""
     t, c = x.shape
@@ -198,13 +228,24 @@ def _shift(x: jnp.ndarray, off: int) -> jnp.ndarray:
 
 def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
                        *refs, specs, halo: int, slope: float, fp32: bool,
-                       kstack: int, up_qs: tuple = (), hup: int = 0):
+                       kstack: int, up_qs: tuple = (), hup: int = 0,
+                       post_qs: tuple = ()):
     up_nq = len(up_qs)
+    refs = list(refs)
+    wpost_ref = bpost_ref = o2_ref = None
     if up_nq:
-        (wup_ref, bup_ref, o_ref, xb_ref, act_ref, xt_ref, acc_ref,
-         xup_ref, actin_ref) = refs
+        wup_ref, bup_ref = refs[:2]
+        del refs[:2]
+    if post_qs:
+        wpost_ref, bpost_ref = refs[:2]
+        del refs[:2]
+    o_ref = refs.pop(0)
+    if post_qs:
+        o2_ref = refs.pop(0)
+    if up_nq:
+        xb_ref, act_ref, xt_ref, acc_ref, xup_ref, actin_ref = refs
     else:
-        o_ref, xb_ref, act_ref, xt_ref, acc_ref = refs
+        xb_ref, act_ref, xt_ref, acc_ref = refs
         wup_ref = bup_ref = xup_ref = actin_ref = None
     i = pl.program_id(1)
     n = pl.num_programs(1)
@@ -279,6 +320,7 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
         xup_ref[...] = upacc
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
+    pad = 16 if post_qs else 0  # conv_post halo (1 super-row, padded)
     conv_ord = 0
     for branch in specs:
         if up_nq:
@@ -296,8 +338,27 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
             conv_into_xt(spec2, conv_ord + 1)
             xb_ref[...] += xt_ref[...]
             conv_ord += 2
-        acc_ref[...] += xb_ref[halo:halo + tile]
-    o_ref[0] = (acc_ref[...] / len(specs)).astype(o_ref.dtype)
+        acc_ref[...] += xb_ref[halo - pad:halo + tile + pad]
+    o_ref[0] = (acc_ref[pad:pad + tile] / len(specs)).astype(o_ref.dtype)
+
+    if post_qs:
+        # conv_post epilogue (hifigan/models.py:193-196): LeakyReLU(0.01)
+        # -> k=7 conv to 1 channel -> tanh, emitted in the packed layout
+        # (wav sample for frame r lives in lane r*C; host strided-slices).
+        apost = jax.nn.leaky_relu(acc_ref[...] / len(specs), 0.01)
+        rows_p = jax.lax.broadcasted_iota(jnp.int32, (tile + 2 * pad, 1), 0)
+        lp = jnp.logical_or(i > 0, rows_p >= pad)
+        rp = jnp.logical_or(i < n - 1, rows_p < pad + tile)
+        apost = (apost * jnp.logical_and(lp, rp).astype(jnp.float32)
+                 ).astype(act_ref.dtype)
+        pacc = jnp.broadcast_to(bpost_ref[...].astype(jnp.float32),
+                                (tile, LANES))
+        for qi, q in enumerate(post_qs):
+            pacc = pacc + jnp.dot(
+                apost[pad + q:pad + q + tile],
+                wpost_ref[qi * LANES:(qi + 1) * LANES],
+                precision=prec, preferred_element_type=jnp.float32)
+        o2_ref[0] = jnp.tanh(pacc).astype(o2_ref.dtype)
 
 
 def _tile_for_packed(tp: int, fp32: bool, c: int = 32) -> int:
@@ -409,14 +470,16 @@ def mrf_packed_up_ok(t_out: int, c_out: int, fp32: bool = False,
 @functools.partial(jax.jit,
                    static_argnames=("kernel_sizes", "dilations", "slope",
                                     "stride", "up_k", "up_padding", "tile",
-                                    "kstack", "interpret"))
+                                    "kstack", "post_k", "interpret"))
 def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
                   w: jnp.ndarray, b: jnp.ndarray,
                   kernel_sizes: Tuple[int, ...] = _KERNELS,
                   dilations: Tuple[Tuple[int, ...], ...] = _DILATIONS,
                   slope: float = 0.1, stride: int = 2, up_k: int = 4,
                   up_padding: int = 1, tile: int = 0, kstack: int = 16,
-                  interpret: bool = False) -> jnp.ndarray:
+                  wpost: jnp.ndarray = None, bpost: jnp.ndarray = None,
+                  post_k: int = 7,
+                  interpret: bool = False):
     """Fused generator level: x (B, T_in, C_in) -> (B, T_in*stride, C_in//2).
 
     Computes LeakyReLU(x) -> ConvTranspose1d(stride, up_k, up_padding) ->
@@ -427,6 +490,12 @@ def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
 
     wup, bup from pack_upsample_weights; w, b from pack_packed_weights
     built for C_out = C_in // stride.
+
+    With wpost/bpost (from pack_convpost_weights) the kernel additionally
+    emits the generator tail LeakyReLU(0.01) -> conv_post(k=post_k, C->1)
+    -> tanh (hifigan/models.py:193-196) as a second output in the packed
+    layout: wav sample for frame r of a row sits in lane r*C_out.  Returns
+    (level_out, wav_packed) in that case.
     """
     bsz, t_in, c_in = x.shape
     assert stride == 2 and c_in in (64, 128), (stride, c_in)
@@ -448,6 +517,14 @@ def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
     specs, n_mats, halo = packed_meta(kernel_sizes, dilations, r_out)
     up_qs = upsample_meta(stride, up_k, up_padding, r_in)
     hup = 16  # max |q| is 1 for stride-2 k=4; padded to one sublane group
+    post_qs = ()
+    pad = 0
+    if wpost is not None:
+        post_qs = tuple(_delta_map(post_k, 1, r_out))
+        pad = 16
+        halo += pad  # widen the chain's valid center by the conv_post halo
+        assert max(abs(q) for q in post_qs) <= pad
+        assert wpost.shape == (len(post_qs) * LANES, LANES), wpost.shape
     assert max(abs(q) for q in up_qs) <= hup
     assert w.shape == (n_mats * LANES, LANES), (w.shape, n_mats)
     assert wup.shape == (len(up_qs) * LANES, LANES), (wup.shape, up_qs)
@@ -456,7 +533,7 @@ def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
     xp = x.reshape(bsz, tp, LANES)
     kernel = functools.partial(_mrf_packed_kernel, specs=specs, halo=halo,
                                slope=slope, fp32=fp32, kstack=kstack,
-                               up_qs=up_qs, hup=hup)
+                               up_qs=up_qs, hup=hup, post_qs=post_qs)
 
     def idx_prev(bi, ti):
         return (bi, jnp.maximum(ti - 1, 0), 0)
@@ -469,33 +546,45 @@ def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
 
     act_dtype = jnp.float32 if fp32 else jnp.bfloat16
     ext = tile + 2 * halo
+    full = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, tile, LANES), idx_prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, LANES), idx_cur, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, LANES), idx_next, memory_space=pltpu.VMEM),
+        full(w.shape, lambda bi, ti: (0, 0)),
+        full(b.shape, lambda bi, ti: (0, 0)),
+        full(wup.shape, lambda bi, ti: (0, 0)),
+        full(bup.shape, lambda bi, ti: (0, 0)),
+    ]
+    operands = [xp, xp, xp, w, b, wup, bup]
+    out_spec = pl.BlockSpec((1, tile, LANES), idx_cur,
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bsz, tp, LANES), x.dtype)
+    if post_qs:
+        in_specs += [full(wpost.shape, lambda bi, ti: (0, 0)),
+                     full(bpost.shape, lambda bi, ti: (0, 0))]
+        operands += [wpost, bpost]
+        out_spec = (out_spec, pl.BlockSpec((1, tile, LANES), idx_cur,
+                                           memory_space=pltpu.VMEM))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((bsz, tp, LANES),
+                                                     x.dtype))
     out = pl.pallas_call(
         kernel,
         grid=(bsz, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, tile, LANES), idx_prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, LANES), idx_cur, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, LANES), idx_next, memory_space=pltpu.VMEM),
-            pl.BlockSpec(w.shape, lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(b.shape, lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(wup.shape, lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(bup.shape, lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile, LANES), idx_cur,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, tp, LANES), x.dtype),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((ext, LANES), jnp.float32),               # xb
             pltpu.VMEM((ext, LANES), act_dtype),                 # act
             pltpu.VMEM((ext, LANES), jnp.float32),               # xt
-            pltpu.VMEM((tile, LANES), jnp.float32),              # acc
+            pltpu.VMEM((tile + 2 * pad, LANES), jnp.float32),    # acc
             pltpu.VMEM((ext, LANES), jnp.float32),               # xup
             pltpu.VMEM((ext + 2 * hup, LANES), act_dtype),       # actin
         ],
         interpret=interpret,
-    )(xp, xp, xp, w, b, wup, bup)
+    )(*operands)
+    if post_qs:
+        lvl, wavp = out
+        return (lvl.reshape(bsz, t_in * stride, c_out), wavp)
     return out.reshape(bsz, t_in * stride, c_out)

@@ -253,6 +253,47 @@ def test_mrf_packed_up_matches_xla():
     assert not mrf_packed_up_ok(2048, 32, stride=8, up_k=16)
 
 
+def test_mrf_packed_up_convpost_epilogue():
+    """Last-level variant: the kernel also emits LReLU(0.01) -> conv_post
+    -> tanh as a packed second output (one lane per frame)."""
+    from matcha_tts_tpu.models import hifigan, nn
+    from matcha_tts_tpu.ops.pallas.mrf_packed import (
+        mrf_packed_up, pack_packed_weights, pack_upsample_weights,
+        pack_convpost_weights)
+
+    key = jax.random.PRNGKey(3)
+    c_in, t_in, bsz = 64, 512, 2
+    c_out = 32
+    up = nn.init_conv_transpose1d(jax.random.PRNGKey(9), c_in, c_out, 4)
+    post = {"weight": jax.random.normal(jax.random.PRNGKey(11),
+                                        (7, c_out, 1)) * 0.05,
+            "bias": jnp.asarray([0.013])}
+    rbs = [hifigan.init_resblock1(k, c_out, kk, (1, 3, 5))
+           for k, kk in zip(jax.random.split(key, 3), (3, 7, 11))]
+    x = jax.random.normal(jax.random.PRNGKey(0), (bsz, t_in, c_in),
+                          jnp.float32)
+    y = jax.nn.leaky_relu(x, 0.1)
+    y = nn.conv_transpose1d(up, y, stride=2, padding=1)
+    lvl_ref = None
+    for rb, k in zip(rbs, (3, 7, 11)):
+        z = hifigan.resblock1(rb, y, k, (1, 3, 5))
+        lvl_ref = z if lvl_ref is None else lvl_ref + z
+    lvl_ref = lvl_ref / 3.0
+    tail = jax.nn.leaky_relu(lvl_ref, 0.01)
+    wav_ref = np.asarray(jnp.tanh(nn.conv1d(post, tail, padding=3))[..., 0])
+
+    wup, bup = pack_upsample_weights(up)
+    w, b = pack_packed_weights(rbs)
+    wpost, bpost, qs = pack_convpost_weights(post, c_out)
+    assert qs == (-1, 0, 1)
+    lvl, wavp = mrf_packed_up(x, wup, bup, w, b, tile=128,
+                              wpost=wpost, bpost=bpost, interpret=True)
+    np.testing.assert_allclose(np.asarray(lvl), np.asarray(lvl_ref),
+                               atol=3e-5)
+    wav = np.asarray(wavp.reshape(bsz, -1, c_out)[..., 0])
+    np.testing.assert_allclose(wav, wav_ref, atol=3e-5)
+
+
 def test_mrf_packed_meta_and_gate():
     from matcha_tts_tpu.ops.pallas.mrf_packed import (mrf_packed_ok,
                                                       packed_meta)
