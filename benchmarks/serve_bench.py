@@ -87,10 +87,17 @@ def main():
         lat = [None] * args.requests
         sem = threading.Semaphore(args.clients)
 
+        failures = [0]
+
         def worker(i):
             with sem:
                 t = time.perf_counter()
-                post(i)
+                try:
+                    post(i)
+                except Exception as e:
+                    failures[0] += 1
+                    print(f"request {i} FAILED: {e!r}", file=sys.stderr)
+                    return
                 lat[i] = time.perf_counter() - t
 
         t0 = time.perf_counter()
@@ -112,6 +119,7 @@ def main():
             "metric": "serving_throughput",
             "round": name,
             "requests": args.requests,
+            "failed": failures[0],
             "clients": args.clients,
             "wall_s": round(wall, 3),
             "requests_per_s": round(args.requests / wall, 2),

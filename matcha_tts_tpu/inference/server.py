@@ -278,7 +278,13 @@ class TTSServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        class _Server(ThreadingHTTPServer):
+            # socketserver's default listen backlog is 5: a burst of
+            # concurrent clients overflows it and the kernel RSTs the
+            # excess connections before the accept loop sees them
+            request_queue_size = 128
+
+        self.httpd = _Server((host, port), Handler)
         # non-daemon handlers + block_on_close: server_close() waits for
         # in-flight responses to finish writing (graceful drain)
         self.httpd.daemon_threads = False
@@ -351,6 +357,11 @@ def main(argv=None):
     ap.add_argument("--denoise-strength", type=float, default=0.00025)
     ap.add_argument("--warmup", action="store_true",
                     help="precompile batched graphs before serving")
+    ap.add_argument("--warmup-only", action="store_true",
+                    help="prime the compile cache (implies --warmup) and "
+                         "exit without serving — for deploy-time prebaking "
+                         "with --compile-cache (the kernel-heavy fused "
+                         "graphs take minutes each to compile cold)")
     ap.add_argument("--compile-cache", default=None,
                     help="persistent JAX compilation cache dir "
                          "(warm restarts skip compiles)")
@@ -366,7 +377,7 @@ def main(argv=None):
     synth = Synthesizer(params, cfg, voc_params, hcfg,
                         compute_dtype=args.compute_dtype,
                         denoise_strength=args.denoise_strength)
-    if args.warmup:
+    if args.warmup or args.warmup_only:
         print("warming up batched graphs ...")
         # warm every bucket a runtime batch can PAD UP to (<= max_batch
         # requests round up to the next bucket, which must be compiled)
@@ -374,6 +385,8 @@ def main(argv=None):
         n = synth.warmup(batch_sizes=[b for b in synth.batch_buckets
                                       if b <= limit])
         print(f"warmed {n} batch shapes")
+    if args.warmup_only:
+        return
     TTSServer(synth, host=args.host, port=args.port,
               max_batch=args.max_batch,
               batch_window_ms=args.batch_window_ms).serve_forever()

@@ -120,3 +120,33 @@ def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+
+
+def test_warmup_only_exits_without_serving(monkeypatch):
+    """`--warmup-only` primes the compile cache and returns (no server)."""
+    from matcha_tts_tpu.inference import server as srv_mod
+
+    cfg = MatchaConfig(
+        encoder=EncoderConfig(n_feats=8, n_channels=32, filter_channels=64,
+                              n_heads=2, n_layers=1, p_dropout=0.0),
+        duration_predictor=DurationPredictorConfig(filter_channels_dp=32),
+        decoder=DecoderConfig(channels=(16, 16), attention_head_dim=8,
+                              num_heads=2, n_blocks=1, num_mid_blocks=1),
+        audio=AudioConfig(n_mels=8, hop_length=16),
+    )
+    hcfg = HiFiGANConfig(
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), num_mels=8,
+    )
+    params = init_matcha(jax.random.PRNGKey(0), cfg)
+    voc = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
+    monkeypatch.setattr("matcha_tts_tpu.inference.cli.load_models",
+                        lambda c, v: (params, cfg, voc, hcfg))
+    served = []
+    monkeypatch.setattr(srv_mod.TTSServer, "serve_forever",
+                        lambda self: served.append(True))
+    # returns after warming batch-1 graphs; serve_forever never runs
+    srv_mod.main(["--warmup-only", "--max-batch", "1",
+                  "--compute-dtype", "float32"])
+    assert not served
