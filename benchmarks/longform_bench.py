@@ -1,0 +1,131 @@
+"""Long-form + multi-speaker synthesis benchmark (BASELINE config 5).
+
+The reference handles long-form input only as a hard-coded `|`-separated
+pair (main.py:158) and has no streaming or multi-speaker path exercised;
+this harness measures the rebuild's versions on real hardware:
+
+  * long-form paragraph -> synthesize_long (chunk, synthesize, join):
+    wall time and RTF over the full paragraph;
+  * streaming: stream_samples time-to-first-audio and steady chunk cadence;
+  * multi-speaker (n_spks=10 config, spk embedding concat per
+    model.py:527-528): per-utterance synthesis with distinct speaker ids.
+
+Usage: python benchmarks/longform_bench.py [--nfe 10] [--dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import numpy as np
+
+PARAGRAPH = (
+    "The birch canoe slid on the smooth planks. "
+    "Glue the sheet to the dark blue background. "
+    "It is easy to tell the depth of a well, these days. "
+    "These days a chicken leg is a rare dish to find. "
+    "Rice is very often served in large round bowls. "
+    "The juice of lemons makes fine punch for everyone. "
+    "The box was thrown beside the parked truck yesterday. "
+    "The hogs were fed with chopped corn and garbage. "
+    "Four hours of steady work faced us that morning. "
+    "A large size in stockings is hard to sell anywhere."
+)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--nfe", type=int, default=10)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("float32", "bfloat16"))
+    p.add_argument("--length-scale", type=float, default=3.0,
+                   help="3.0 reproduces trained-model duration statistics "
+                        "on random weights (see bench.py)")
+    args = p.parse_args(argv)
+
+    from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
+    from matcha_tts_tpu.inference.synthesizer import Synthesizer
+    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.models.matcha import init_matcha
+
+    hcfg = HiFiGANConfig()
+    voc = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
+
+    # -- long-form + streaming (single-speaker config) ---------------------
+    cfg = MatchaConfig()
+    syn = Synthesizer(init_matcha(jax.random.PRNGKey(0), cfg), cfg, voc,
+                      hcfg, compute_dtype=args.dtype,
+                      denoise_strength=0.00025)
+    sr = cfg.audio.sample_rate
+    kw = dict(n_timesteps=args.nfe, length_scale=args.length_scale)
+
+    # warm both paths (compiles + adaptive buckets)
+    syn.synthesize_long(PARAGRAPH, **kw)
+    for _ in syn.stream_samples(PARAGRAPH, **kw):
+        pass
+
+    t0 = time.perf_counter()
+    r = syn.synthesize_long(PARAGRAPH, **kw)
+    wall = time.perf_counter() - t0
+    audio_s = len(r.wav) / sr
+    rec_long = {
+        "metric": "longform", "sentences": len(syn.split_text(PARAGRAPH)),
+        "audio_s": round(audio_s, 2), "wall_s": round(wall, 3),
+        "rtf": round(wall / audio_s, 5),
+    }
+    print(json.dumps(rec_long))
+
+    t0 = time.perf_counter()
+    first = None
+    n_samples = 0
+    for chunk in syn.stream_samples(PARAGRAPH, **kw):
+        if first is None:
+            first = time.perf_counter() - t0
+        n_samples += len(chunk)
+    wall = time.perf_counter() - t0
+    rec_stream = {
+        "metric": "longform_stream", "audio_s": round(n_samples / sr, 2),
+        "time_to_first_audio_s": round(first, 3),
+        "wall_s": round(wall, 3),
+        "rtf": round(wall / (n_samples / sr), 5),
+    }
+    print(json.dumps(rec_stream))
+
+    # -- multi-speaker (n_spks=10, spk_emb_dim=64 like Matcha's VCTK cfg) --
+    mcfg = MatchaConfig(n_spks=10, spk_emb_dim=64)
+    msyn = Synthesizer(init_matcha(jax.random.PRNGKey(2), mcfg), mcfg, voc,
+                       hcfg, compute_dtype=args.dtype,
+                       denoise_strength=0.00025)
+    text = "The juice of lemons makes fine punch."
+    # warm every speaker: each random spk embedding shifts the predicted
+    # duration, which can land in a different (adaptive) frame bucket
+    for spk in range(4):
+        msyn.synthesize(text, spk=spk, **kw)
+    wavs, t0 = [], time.perf_counter()
+    for spk in range(4):
+        wavs.append(msyn.synthesize(text, spk=spk, **kw).wav)
+    wall = time.perf_counter() - t0
+    audio_s = sum(len(w) for w in wavs) / sr
+    distinct = len({np.abs(w).sum().round(4) for w in wavs})
+    rec_spk = {
+        "metric": "multispeaker", "n_spks": 4,
+        "audio_s": round(audio_s, 2), "wall_s": round(wall, 3),
+        "rtf": round(wall / audio_s, 5), "distinct_outputs": distinct,
+    }
+    print(json.dumps(rec_spk))
+    return rec_long, rec_stream, rec_spk
+
+
+if __name__ == "__main__":
+    main()
