@@ -42,8 +42,9 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--tile", type=int, default=0,
                    help="packed-kernel tile override (0 = auto)")
-    p.add_argument("--kstack", type=int, default=8,
-                   help="packed-kernel K-stack group size")
+    p.add_argument("--kstack", type=int, default=16,
+                   help="packed-kernel K-stack group size (16 = the "
+                        "production default in mrf_packed)")
     args = p.parse_args(argv)
 
     from matcha_tts_tpu.models import hifigan
@@ -79,10 +80,11 @@ def main(argv=None):
                                   kstack=args.kstack)
 
             impls["packed"] = packed_level
-        if "xla_up" in args.impl or "packed_up" in args.impl:
+        if ("xla_up" in args.impl or "packed_up" in args.impl) and c <= 64:
             # upsample-inclusive variants: time the full generator level
             # lrelu -> ConvTranspose(k=4,s=2, C 2c->c) -> MRF from the
-            # pre-upsample tensor (B, t/2, 2c)
+            # pre-upsample tensor (B, t/2, 2c).  Only the two deepest
+            # levels (c in {32, 64}) have a fused-upsample kernel.
             from matcha_tts_tpu.models import nn as mnn
 
             up = mnn.init_conv_transpose1d(jax.random.PRNGKey(17), 2 * c, c, 4)
@@ -102,13 +104,20 @@ def main(argv=None):
                     mrf_packed_up, pack_packed_weights, pack_upsample_weights)
 
                 wupp, bupp = pack_upsample_weights(up, dtype=dtype)
-                wp2, bp2 = pack_packed_weights(rbs, KERNELS, DILS, dtype=dtype)
+                if "packed" in args.impl:
+                    wp2, bp2 = wp, bp  # identical resblock packing
+                else:
+                    wp2, bp2 = pack_packed_weights(rbs, KERNELS, DILS,
+                                                   dtype=dtype)
 
                 def packed_up_level(x, w=(wupp, bupp, wp2, bp2)):
                     return mrf_packed_up(x, *w, KERNELS, DILS,
                                          tile=args.tile, kstack=args.kstack)
 
                 impls["packed_up"] = (packed_up_level, xin)
+        elif c > 64 and ("xla_up" in args.impl or "packed_up" in args.impl):
+            print(f"C={c}: skipping _up impls (no fused-upsample kernel)",
+                  file=sys.stderr)
         if "tap" in args.impl:
             from matcha_tts_tpu.ops.pallas.mrf import mrf_fused, pack_mrf_weights
 

@@ -88,6 +88,7 @@ def main():
         sem = threading.Semaphore(args.clients)
 
         failures = [0]
+        fail_lock = threading.Lock()
 
         def worker(i):
             with sem:
@@ -95,7 +96,8 @@ def main():
                 try:
                     post(i)
                 except Exception as e:
-                    failures[0] += 1
+                    with fail_lock:
+                        failures[0] += 1
                     print(f"request {i} FAILED: {e!r}", file=sys.stderr)
                     return
                 lat[i] = time.perf_counter() - t
@@ -114,7 +116,8 @@ def main():
         n_reqs = st["batched_requests"] - base["batched_requests"]
         audio_s = st["audio_seconds"] - base["audio_seconds"]
         synth_s = st["synth_seconds"] - base["synth_seconds"]
-        lat_sorted = sorted(v for v in lat if v is not None)
+        lat_sorted = sorted(v for v in lat if v is not None) or [float("nan")]
+        completed = args.requests - failures[0]
         return {
             "metric": "serving_throughput",
             "round": name,
@@ -122,7 +125,7 @@ def main():
             "failed": failures[0],
             "clients": args.clients,
             "wall_s": round(wall, 3),
-            "requests_per_s": round(args.requests / wall, 2),
+            "requests_per_s": round(completed / wall, 2),
             "audio_seconds": round(audio_s, 2),
             "serving_rtf": round(synth_s / max(audio_s, 1e-9), 5),
             "xrealtime": round(audio_s / wall, 1),

@@ -105,8 +105,7 @@ def _mrf_mode(cfg: HiFiGANConfig) -> str:
     return mode
 
 
-def _mrf_fusable(cfg: HiFiGANConfig, t: int, c: int,
-                 dtype=jnp.bfloat16) -> str:
+def _mrf_fusable(cfg: HiFiGANConfig, t: int, c: int, dtype) -> str:
     """Pick the MRF implementation for this level: "packed", "tap", "xla"."""
     mode = _mrf_mode(cfg)
     if mode == "xla" or cfg.resblock != "1":
