@@ -82,3 +82,27 @@ def test_discriminators_run():
     msd_p = hifigan.init_msd(jax.random.PRNGKey(4))
     outs = hifigan.msd(msd_p, y, y_hat)
     assert len(outs[0]) == 3 and len(outs[2][0]) == 8
+
+
+def test_mrf_dispatch_decision_table(monkeypatch):
+    """auto picks Pallas kernels only on TPU and only for bf16; forced
+    "packed" keeps the fp32 parity kernels available."""
+    from matcha_tts_tpu.config import HiFiGANConfig
+    from matcha_tts_tpu.models import hifigan
+
+    auto = HiFiGANConfig()
+    forced = HiFiGANConfig(mrf_kernel="packed")
+    # CPU backend (tests run here): auto always falls back to XLA
+    assert hifigan._mrf_fusable(auto, 196608, 32, jnp.bfloat16) == "xla"
+    assert hifigan._mrf_fusable(forced, 196608, 32, jnp.float32) == "packed"
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert hifigan._mrf_fusable(auto, 196608, 32, jnp.bfloat16) == "packed"
+    assert hifigan._mrf_fusable(auto, 98304, 64, jnp.bfloat16) == "packed"
+    assert hifigan._mrf_fusable(auto, 49152, 128, jnp.bfloat16) == "packed"
+    # fp32 kernels are a HIGHEST-precision parity mode, 3.4x slower than
+    # XLA at batch 32 -- auto must NOT select them
+    assert hifigan._mrf_fusable(auto, 196608, 32, jnp.float32) == "xla"
+    # unsupported widths / non-V1 configs stay on XLA
+    assert hifigan._mrf_fusable(auto, 6144, 256, jnp.bfloat16) == "xla"
+    rb2 = HiFiGANConfig(resblock="2")
+    assert hifigan._mrf_fusable(rb2, 196608, 32, jnp.bfloat16) == "xla"

@@ -150,3 +150,9 @@ def test_warmup_only_exits_without_serving(monkeypatch):
     srv_mod.main(["--warmup-only", "--max-batch", "1",
                   "--compute-dtype", "float32"])
     assert not served
+
+
+def test_listen_backlog_sized_for_bursts(server):
+    """Regression: socketserver's default backlog of 5 RST concurrent
+    connection bursts, silently killing clients mid-batch."""
+    assert server.httpd.request_queue_size >= 64
