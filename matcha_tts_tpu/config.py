@@ -105,7 +105,16 @@ class HiFiGANConfig:
     # with mrf_kernel="xla" keeps its legacy meaning of "tap".
     # Default "auto": measured on v5e, packed halves the deep-level time
     # (C=32: 10.3 -> 5.1 ms, C=64: 7.4 -> 4.8 ms per 768-frame pass).
+    # NB: legacy configs that set only use_pallas=True (pre-"auto" default)
+    # now resolve to "auto", which selects the strictly faster packed
+    # kernels; set mrf_kernel="tap" explicitly to pin the old behavior.
     mrf_kernel: str = "auto"
+
+    def __post_init__(self):
+        valid = ("xla", "tap", "packed", "auto")
+        if self.mrf_kernel not in valid:
+            raise ValueError(
+                f"mrf_kernel={self.mrf_kernel!r} is not one of {valid}")
 
     @property
     def total_upsample(self) -> int:

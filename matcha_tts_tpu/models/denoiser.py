@@ -40,7 +40,10 @@ def make_denoiser(vocoder_params, cfg: HiFiGANConfig, filter_length: int = 1024,
         raise ValueError(f"Mode {mode} not supported")
     # One-time fp32 probe at init: force the XLA conv path so no fp32
     # Pallas kernel variants are compiled just for this (compile latency
-    # dominates; the probe itself runs once on an 88-frame mel).
+    # dominates; the probe itself runs once on an 88-frame mel).  The bias
+    # spectrum is therefore an fp32/XLA approximation of the (possibly
+    # bf16/Pallas) serving path — the gap is far below the subtraction
+    # strengths in use (2.5e-4 .. 5e-4).
     cfg_xla = dataclasses.replace(cfg, mrf_kernel="xla", use_pallas=False)
     bias_audio = generator(vocoder_params, mel, cfg_xla)[0]  # (T,)
     hop = int(filter_length / n_overlap)

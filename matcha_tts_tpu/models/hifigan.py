@@ -113,7 +113,11 @@ def _mrf_fusable(cfg: HiFiGANConfig, t: int, c: int, dtype) -> str:
     if any(tuple(d) != (1, 3, 5) for d in cfg.resblock_dilation_sizes):
         return "xla"
     if mode == "auto" and jax.default_backend() == "cpu":
-        return "xla"  # Mosaic kernels need a TPU; tests/dryrun run on CPU
+        # Mosaic kernels need a TPU; tests/dryrun run on CPU.  Forced
+        # "packed"/"tap" still dispatch here — the kernels themselves
+        # switch to interpret mode on CPU (slow but correct) instead of
+        # dying in Mosaic lowering.
+        return "xla"
     if mode == "auto" and dtype != jnp.bfloat16:
         # fp32 kernels run HIGHEST-precision dots (a parity/precision
         # mode, ~3-6x the MXU passes): measured 3.4x SLOWER than XLA's
@@ -124,7 +128,7 @@ def _mrf_fusable(cfg: HiFiGANConfig, t: int, c: int, dtype) -> str:
     if mode in ("packed", "auto"):
         from matcha_tts_tpu.ops.pallas.mrf_packed import mrf_packed_ok
 
-        if mrf_packed_ok(t, c):
+        if mrf_packed_ok(t, c, dtype == jnp.float32):
             return "packed"
         if mode == "packed":
             return "xla"

@@ -119,7 +119,7 @@ def block1d_fused(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
         out_specs=pl.BlockSpec((1, t, c_out), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, c_out), x.dtype),
-        interpret=interpret,
+        interpret=interpret or jax.default_backend() == "cpu",
     )(x, weight, bias.reshape(1, -1), gamma.reshape(1, -1),
       beta.reshape(1, -1))
 

@@ -216,5 +216,5 @@ def mrf_fused(x: jnp.ndarray, w1, b1, w2, b2,
             pltpu.VMEM((tile + 2 * HALO, c), jnp.float32),  # xt
             pltpu.VMEM((tile, c), jnp.float32),             # acc
         ],
-        interpret=interpret,
+        interpret=interpret or jax.default_backend() == "cpu",
     )(x, x, x, w1, b1, w2, b2)

@@ -450,7 +450,7 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             pltpu.VMEM((tile + 2 * halo, LANES), jnp.float32),   # xt
             pltpu.VMEM((tile, LANES), jnp.float32),              # acc
         ],
-        interpret=interpret,
+        interpret=interpret or jax.default_backend() == "cpu",
     )(xp, xp, xp, w, b)
     return out.reshape(bsz, t, c)
 
@@ -582,7 +582,7 @@ def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
             pltpu.VMEM((ext, LANES), jnp.float32),               # xup
             pltpu.VMEM((ext + 2 * hup, LANES), act_dtype),       # actin
         ],
-        interpret=interpret,
+        interpret=interpret or jax.default_backend() == "cpu",
     )(*operands)
     if post_qs:
         lvl, wavp = out
