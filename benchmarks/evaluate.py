@@ -52,6 +52,48 @@ def normalize_for_wer(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+def resample_to_16k(wav: np.ndarray, sr: int) -> np.ndarray:
+    """Whisper expects 16 kHz; linear-interp resample (host-side, eval-only)."""
+    t_src = np.arange(len(wav)) / sr
+    t_dst = np.arange(int(len(wav) * 16000 / sr)) / 16000
+    return np.interp(t_dst, t_src, wav).astype(np.float32)
+
+
+def evaluate_wer(sentences, wavs, sr: int, asr) -> dict:
+    """Intelligibility evaluation (MOS_audiou_generator.ipynb cells 13-14):
+    resample each synthesized wav to 16 kHz, transcribe with `asr`
+    (a callable wav16k -> hypothesis string), and aggregate WER against
+    the normalized ground-truth sentences."""
+    wers, hyps = [], []
+    for s, w in zip(sentences, wavs):
+        hyp = asr(resample_to_16k(np.asarray(w, np.float32), sr))
+        hyps.append(hyp)
+        wers.append(word_error_rate(normalize_for_wer(s),
+                                    normalize_for_wer(hyp)))
+    return {"mean_wer": float(np.mean(wers)),
+            "per_sentence_wer": [float(w) for w in wers],
+            "hypotheses": hyps}
+
+
+def load_whisper_asr(model_path: str):
+    """Build an `asr` callable from a local Whisper checkpoint via
+    transformers (no egress here — weights must be pre-downloaded)."""
+    import torch
+    from transformers import (WhisperForConditionalGeneration,
+                              WhisperProcessor)
+
+    proc = WhisperProcessor.from_pretrained(model_path)
+    model = WhisperForConditionalGeneration.from_pretrained(model_path)
+
+    def asr(wav16k: np.ndarray) -> str:
+        inputs = proc(wav16k, sampling_rate=16000, return_tensors="pt")
+        with torch.no_grad():
+            ids = model.generate(inputs.input_features)
+        return proc.batch_decode(ids, skip_special_tokens=True)[0]
+
+    return asr
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", type=str, default=None)
@@ -122,25 +164,9 @@ def main(argv=None):
 
     if args.whisper:
         try:
-            import torch
-            from transformers import (WhisperForConditionalGeneration,
-                                      WhisperProcessor)
-
-            proc = WhisperProcessor.from_pretrained(args.whisper)
-            model = WhisperForConditionalGeneration.from_pretrained(args.whisper)
-            wers = []
-            for s, w in zip(SENTENCES, wavs):
-                # Whisper expects 16 kHz; naive resample via linear interp
-                t_src = np.arange(len(w)) / sr
-                t_dst = np.arange(int(len(w) * 16000 / sr)) / 16000
-                w16 = np.interp(t_dst, t_src, w).astype(np.float32)
-                inputs = proc(w16, sampling_rate=16000, return_tensors="pt")
-                with torch.no_grad():
-                    ids = model.generate(inputs.input_features)
-                hyp = proc.batch_decode(ids, skip_special_tokens=True)[0]
-                wers.append(word_error_rate(normalize_for_wer(s),
-                                            normalize_for_wer(hyp)))
-            summary["mean_wer"] = float(np.mean(wers))
+            wer = evaluate_wer(SENTENCES, wavs, sr,
+                               load_whisper_asr(args.whisper))
+            summary["mean_wer"] = wer["mean_wer"]
         except Exception as e:  # pragma: no cover
             summary["wer_error"] = str(e)[:200]
 

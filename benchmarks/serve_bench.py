@@ -14,6 +14,7 @@ import json
 import sys
 import threading
 import time
+import urllib.error
 import urllib.request
 from pathlib import Path
 
@@ -31,6 +32,14 @@ SENTENCES = [
 ]
 
 
+def read_rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return float("nan")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clients", type=int, default=16)
@@ -40,6 +49,11 @@ def main():
     ap.add_argument("--batch-window-ms", type=float, default=15.0)
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--soak-seconds", type=float, default=0.0,
+                    help="after the burst rounds, run a sustained-load soak "
+                         "with fault injection (disconnects, malformed "
+                         "payloads, oversized text) and report p99/RSS/"
+                         "thread stability")
     args = ap.parse_args()
 
     if args.cpu:
@@ -135,10 +149,108 @@ def main():
             "p95_latency_s": round(lat_sorted[int(len(lat_sorted) * 0.95)], 3),
         }
 
+    def soak_round(duration_s: float):
+        """Sustained load + fault injection: `--clients` closed-loop
+        clients for `duration_s`, with a chaos thread firing client
+        disconnects mid-request, malformed JSON, and oversized text.
+        Verifies the server neither leaks (RSS, threads, futures) nor
+        degrades (p99) under the faults a burst benchmark never sees."""
+        import socket
+
+        rss0, thr0 = read_rss_mb(), threading.active_count()
+        stop_at = time.monotonic() + duration_s
+        lats, lat_lock = [], threading.Lock()
+        failures = [0]
+        faults = {"disconnect": 0, "malformed": 0, "oversize": 0}
+
+        def client(cid):
+            i = cid
+            while time.monotonic() < stop_at:
+                t = time.perf_counter()
+                try:
+                    post(i)
+                except Exception as e:
+                    with lat_lock:
+                        failures[0] += 1
+                    print(f"soak request FAILED: {e!r}", file=sys.stderr)
+                else:
+                    with lat_lock:
+                        lats.append(time.perf_counter() - t)
+                i += args.clients
+
+        def chaos():
+            kinds = ["disconnect", "malformed", "oversize"]
+            k = 0
+            while time.monotonic() < stop_at:
+                kind = kinds[k % len(kinds)]
+                k += 1
+                try:
+                    if kind == "disconnect":
+                        # full request, then vanish before the response
+                        body = json.dumps(
+                            {"text": "you will never hear this",
+                             "n_timesteps": args.nfe}).encode()
+                        s = socket.create_connection(
+                            ("127.0.0.1", srv.port), timeout=30)
+                        s.sendall(b"POST /synthesize HTTP/1.1\r\n"
+                                  b"Host: localhost\r\nContent-Length: "
+                                  + str(len(body)).encode() + b"\r\n\r\n"
+                                  + body)
+                        s.close()
+                    elif kind == "malformed":
+                        req = urllib.request.Request(url, data=b"{not json!")
+                        try:
+                            urllib.request.urlopen(req, timeout=60)
+                        except urllib.error.HTTPError as e:
+                            assert e.code == 400, e.code
+                    else:  # oversized text (> largest text bucket)
+                        body = json.dumps({"text": "word " * 4000,
+                                           "n_timesteps": args.nfe}).encode()
+                        urllib.request.urlopen(
+                            urllib.request.Request(url, data=body),
+                            timeout=300).read()
+                    faults[kind] += 1
+                except Exception as e:
+                    print(f"chaos {kind} FAILED: {e!r}", file=sys.stderr)
+                time.sleep(2.0)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(args.clients)]
+        threads.append(threading.Thread(target=chaos))
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        time.sleep(1.0)  # let keep-alive handler threads wind down
+        ls = sorted(lats) or [float("nan")]
+
+        def pct(p):
+            return round(ls[min(len(ls) - 1, int(len(ls) * p))], 3)
+
+        return {
+            "metric": "serving_soak",
+            "soak_s": round(wall, 1),
+            "completed": len(lats),
+            "failed": failures[0],
+            "requests_per_s": round(len(lats) / wall, 2),
+            "p50_latency_s": pct(0.50),
+            "p95_latency_s": pct(0.95),
+            "p99_latency_s": pct(0.99),
+            "faults_injected": dict(faults),
+            "rss_start_mb": round(rss0, 1),
+            "rss_end_mb": round(read_rss_mb(), 1),
+            "threads_start": thr0,
+            "threads_end": threading.active_count(),
+        }
+
     # round 1 pays the batched-shape compiles (bounded by batch buckets);
     # round 2 is the steady-state serving number
     print(json.dumps(load_round("cold")), file=sys.stderr)
     print(json.dumps(load_round("steady")))
+    if args.soak_seconds > 0:
+        print(json.dumps(soak_round(args.soak_seconds)))
     srv.stop()
 
 

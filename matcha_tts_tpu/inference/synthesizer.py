@@ -238,6 +238,35 @@ class Synthesizer:
 
         return zlib.crc32(np.asarray(ids, np.int32).tobytes()) & 0x7FFFFFFF
 
+    # Conservative usable-HBM budget for the fp32 batch guard (v5e has
+    # 16 GB; leave headroom for weights, the U-Net, and XLA scratch).
+    HBM_BUDGET_BYTES = 12e9
+    # Estimated concurrently-live wav-rate activation buffers on the XLA
+    # vocoder path (3 MRF branches x residual chains at the two deepest
+    # levels).  Calibrated against the measured fp32 batch-32 overflow
+    # (docs/RESULTS.md).
+    _VOCODER_LIVE_BUFFERS = 16
+
+    def _check_vocoder_memory(self, batch: int, t_y: int) -> None:
+        """Fail fast on the measured fp32 large-batch HBM trap instead of
+        letting the runtime OOM mid-graph.  bf16 is the supported batch-
+        throughput mode; fp32 batched synthesis overflows v5e HBM around
+        batch 32 x 768 frames (docs/RESULTS.md)."""
+        if self.compute_dtype != "float32":
+            return
+        hop = self.hifi_cfg.total_upsample
+        deepest_ch = self.hifi_cfg.upsample_initial_channel // (
+            2 ** len(self.hifi_cfg.upsample_rates))
+        est = batch * t_y * hop * deepest_ch * 4 * self._VOCODER_LIVE_BUFFERS
+        if est > self.HBM_BUDGET_BYTES:
+            raise ValueError(
+                f"compute_dtype='float32' with batch={batch} x "
+                f"t_y={t_y} frames needs ~{est / 1e9:.1f} GB of vocoder "
+                f"activations — beyond the ~{self.HBM_BUDGET_BYTES / 1e9:.0f}"
+                f" GB HBM budget (measured OOM on v5e, docs/RESULTS.md). "
+                f"Use compute_dtype='bfloat16' for batched synthesis, or "
+                f"reduce the batch/frame buckets.")
+
     # -- single utterance ---------------------------------------------------
 
     def synthesize(
@@ -598,6 +627,7 @@ class Synthesizer:
                 t_y = self.predict_frame_bucket(
                     xd, xld, length_scale, spks=spks,
                     buckets=self.batch_frame_buckets)
+                self._check_vocoder_memory(b, t_y)
                 out, wav = _synthesize_to_wav(
                     self.matcha_params, self.vocoder_params,
                     jax.random.PRNGKey(seed), xd, xld,

@@ -55,13 +55,22 @@ def featurize_batch(batch: Dict[str, np.ndarray], cfg: MatchaConfig):
 
 
 class MetricsLogger:
-    """JSONL + stdout scalar logging (stands in for TensorBoardLogger,
-    train_standalone.py:860-872)."""
+    """JSONL + stdout + TensorBoard scalar logging (the reference's
+    TensorBoardLogger surface, train_standalone.py:860-872: train/val x
+    {loss, dur_loss, prior_loss, cfm_loss} under split-prefixed tags)."""
 
-    def __init__(self, log_dir):
+    def __init__(self, log_dir, tensorboard: bool = True):
         self.path = Path(log_dir)
         self.path.mkdir(parents=True, exist_ok=True)
         self.file = open(self.path / "metrics.jsonl", "a", encoding="utf-8")
+        self.tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(str(self.path / "tb"))
+            except Exception:  # TB stack unavailable — JSONL still written
+                self.tb = None
 
     def log(self, step: int, split: str, metrics: Dict, extra: Optional[Dict] = None):
         rec = {"step": step, "split": split,
@@ -70,6 +79,10 @@ class MetricsLogger:
             rec.update(extra)
         self.file.write(json.dumps(rec) + "\n")
         self.file.flush()
+        if self.tb is not None:
+            for k, v in metrics.items():
+                self.tb.add_scalar(f"{split}/{k}", float(v), step)
+            self.tb.flush()
         print(f"[{split} {step}] " + " ".join(f"{k}={float(v):.4f}"
                                               for k, v in metrics.items()))
 
@@ -79,26 +92,55 @@ class Checkpointer:
     (reference embeds them as buffers + hparams, train_standalone.py:595,
     618-621, 850-857)."""
 
-    def __init__(self, ckpt_dir, keep: int = 3):
+    def __init__(self, ckpt_dir, keep: int = 3,
+                 monitor: Optional[str] = None, best_mode: str = "min"):
+        """`monitor=None` keeps the last `keep` checkpoints by recency.
+        With a metric name (e.g. "loss"), retention matches the reference's
+        ModelCheckpoint(monitor="val/loss", mode="min", save_top_k=3,
+        save_last=True) (train_standalone.py:850-857): the `keep` best by
+        that metric are preserved, plus always the latest (so resume never
+        goes back in time)."""
         import orbax.checkpoint as ocp
 
         self.dir = Path(ckpt_dir).absolute()
         self.dir.mkdir(parents=True, exist_ok=True)
-        self.mngr = ocp.CheckpointManager(
-            self.dir,
-            options=ocp.CheckpointManagerOptions(max_to_keep=keep,
-                                                 create=True),
-        )
+        self.monitor = monitor
+        if monitor is None:
+            options = ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                                   create=True)
+        else:
+            from orbax.checkpoint import checkpoint_managers as ocm
 
-    def save(self, step: int, state, model_cfg: Optional[MatchaConfig] = None):
+            policy = ocm.AnyPreservationPolicy([
+                # reverse=True sorts descending; BestN keeps the tail of
+                # the sort, i.e. the `keep` smallest values in "min" mode
+                ocm.BestN(get_metric_fn=lambda m: float(m[monitor]),
+                          reverse=(best_mode == "min"), n=keep),
+                ocm.LatestN(1),
+            ])
+            # best_fn sets Orbax's _track_best, which is what persists the
+            # metrics item to disk — without it a restarted manager sees
+            # metric-less checkpoints and best-k ranking dies on resume.
+            options = ocp.CheckpointManagerOptions(
+                create=True, preservation_policy=policy,
+                best_fn=lambda m: float(m[monitor]), best_mode=best_mode)
+        self.mngr = ocp.CheckpointManager(self.dir, options=options)
+
+    def save(self, step: int, state, model_cfg: Optional[MatchaConfig] = None,
+             metrics: Optional[Dict] = None):
         """Save any NamedTuple train state (TrainState, DistillState,
-        GanTrainState) field-by-field, with the model config embedded."""
+        GanTrainState) field-by-field, with the model config embedded.
+        `metrics` (e.g. the val scalars) rank checkpoints for best-k
+        retention when the manager monitors a metric."""
         import orbax.checkpoint as ocp
 
         parts = {"state": ocp.args.StandardSave(dict(state._asdict()))}
         if model_cfg is not None:
             parts["config"] = ocp.args.JsonSave(config_to_dict(model_cfg))
-        self.mngr.save(step, args=ocp.args.Composite(**parts))
+        if metrics is not None:
+            metrics = {k: float(v) for k, v in metrics.items()}
+        self.mngr.save(step, args=ocp.args.Composite(**parts),
+                       metrics=metrics)
         self.mngr.wait_until_finished()
 
     def restore(self, state, step: Optional[int] = None):
@@ -135,7 +177,8 @@ def fit(
     """
     work = Path(work_dir)
     logger = MetricsLogger(work)
-    ckpt = Checkpointer(work / "ckpt", keep=train_cfg.ckpt_keep)
+    ckpt = Checkpointer(work / "ckpt", keep=train_cfg.ckpt_keep,
+                        monitor="loss")
 
     train_ds = TextMelDataset(train_filelist, model_cfg.audio, model_cfg.n_spks,
                               seed=train_cfg.seed)
@@ -196,11 +239,20 @@ def fit(
                             "frames_in_batch": frames})
                 t0 = time.time()
             if step % train_cfg.ckpt_every_n_steps == 0:
-                ckpt.save(step, jax.device_get(state), model_cfg)
+                # val first, so the checkpoint is ranked by val loss for
+                # best-k retention (reference monitors val/loss,
+                # train_standalone.py:850-857)
                 val_metrics = evaluate(state.params, val_batches, model_cfg,
                                        train_cfg, mesh)
                 logger.log(step, "val", val_metrics)
-    ckpt.save(step, jax.device_get(state), model_cfg)
+                ckpt.save(step, jax.device_get(state), model_cfg,
+                          metrics=val_metrics)
+    if ckpt.mngr.latest_step() != step:
+        val_metrics = evaluate(state.params, val_batches, model_cfg,
+                               train_cfg, mesh)
+        logger.log(step, "val", val_metrics)
+        ckpt.save(step, jax.device_get(state), model_cfg,
+                  metrics=val_metrics)
     return state
 
 

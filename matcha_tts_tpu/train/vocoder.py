@@ -106,6 +106,16 @@ def _mel(audio, acfg: AudioConfig):
     )
 
 
+def _mel_full_band(audio, acfg: AudioConfig):
+    """Loss mel: full band to Nyquist, per the recipe's fmax_for_loss=None
+    (hifigan/config.py:25 -> meldataset.py mel_spectrogram with fmax=None).
+    Generator *input* mels stay at the acoustic band (acfg.f_max)."""
+    return log_mel_spectrogram(
+        audio, acfg.sample_rate, acfg.n_fft, acfg.n_mels, acfg.hop_length,
+        acfg.win_length, acfg.f_min, acfg.sample_rate / 2.0,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("hcfg", "acfg", "lr",
                                              "weight_norm"))
 def gan_disc_step(state: GanTrainState, audio: jnp.ndarray,
@@ -149,13 +159,16 @@ def gan_gen_step(state: GanTrainState, audio: jnp.ndarray,
     disc_plain = (wn.fold(state.disc_params) if weight_norm
                   else state.disc_params)
 
+    mel_real_full = _mel_full_band(audio, acfg)
+
     def loss_fn(gen_params):
         if weight_norm:
             gen_params = wn.fold(gen_params)
         fake = hifigan.generator(gen_params, mel_real.transpose(0, 2, 1), hcfg)
         n = min(audio.shape[-1], fake.shape[-1])
-        mel_fake = _mel(fake[..., :n], acfg)
-        mel_loss = jnp.mean(jnp.abs(mel_fake - mel_real[..., : mel_fake.shape[-1]]))
+        mel_fake = _mel_full_band(fake[..., :n], acfg)
+        mel_loss = jnp.mean(jnp.abs(
+            mel_fake - mel_real_full[..., : mel_fake.shape[-1]]))
 
         mpd_out = hifigan.mpd(disc_plain["mpd"], audio[..., :n], fake[..., :n])
         msd_out = hifigan.msd(disc_plain["msd"], audio[..., :n], fake[..., :n])

@@ -241,3 +241,40 @@ def test_torch_checkpoint_file_roundtrip(tmp_path):
 
     back2, cfg2 = load_matcha_any(path, cfg)
     assert_tree_equal(params, back2)
+
+
+def test_fullsize_lightning_checkpoint_file_to_wav(tmp_path):
+    """A synthetic FULL-SIZE Lightning-format .ckpt — `model.`-prefixed
+    state_dict, `hyper_parameters`, epoch/global_step, mel-stat buffers —
+    loaded through the inference CLI's loader (main.py:94-129 surface),
+    must yield the identical parameter tree and drive file-to-wav
+    synthesis identically to the in-memory tree."""
+    from matcha_tts_tpu.inference.cli import load_models
+    from matcha_tts_tpu.inference.synthesizer import Synthesizer
+
+    cfg = MatchaConfig()  # full 18M-param LJSpeech preset
+    params = jax.device_get(init_matcha(jax.random.PRNGKey(21), cfg))
+    sd = C.export_matcha(params, cfg)
+    assert "mel_mean" in sd and "mel_std" in sd  # buffers travel in the ckpt
+    ckpt = {
+        "state_dict": {f"model.{k}": torch.from_numpy(np.ascontiguousarray(v))
+                       for k, v in sd.items()},
+        # Lightning's save_hyperparameters() payload (train_standalone.py:595)
+        "hyper_parameters": {"n_vocab": 178, "n_feats": 80,
+                             "mel_mean": -5.536622, "mel_std": 2.116101},
+        "epoch": 117,
+        "global_step": 12345,
+    }
+    path = tmp_path / "matcha_fullsize.ckpt"
+    torch.save(ckpt, path)
+
+    mp, cfg2, vp, hcfg = load_models(checkpoint=str(path))
+    assert_tree_equal(params, mp)
+
+    # file-to-wav equivalence: same seed, same text -> identical bytes
+    text = "The Lightning checkpoint loader round trips."
+    w_file = np.asarray(
+        Synthesizer(mp, cfg2, vp, hcfg).synthesize(text, n_timesteps=2).wav)
+    w_mem = np.asarray(
+        Synthesizer(params, cfg, vp, hcfg).synthesize(text, n_timesteps=2).wav)
+    np.testing.assert_array_equal(w_file, w_mem)

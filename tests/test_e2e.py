@@ -265,3 +265,22 @@ def test_batched_noise_is_content_keyed():
     # different batch shape -> same noise, different XLA fusion order:
     # equal to float tolerance
     np.testing.assert_allclose(r_ab[0].wav, r_a[0].wav, atol=1e-7)
+
+
+def test_fp32_large_batch_hbm_guard():
+    """The measured fp32 batch-32 HBM overflow (docs/RESULTS.md) must fail
+    fast with an actionable error, not a runtime OOM; bf16 and small fp32
+    batches pass the guard."""
+    import pytest
+
+    from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
+
+    cfg, hcfg = MatchaConfig(), HiFiGANConfig()  # full-size hop 256
+    syn = Synthesizer.__new__(Synthesizer)  # guard needs only cfg + dtype
+    syn.matcha_cfg, syn.hifi_cfg = cfg, hcfg
+    syn.compute_dtype = "float32"
+    with pytest.raises(ValueError, match="bfloat16"):
+        syn._check_vocoder_memory(32, 768)
+    syn._check_vocoder_memory(8, 768)   # measured-working fp32 shape
+    syn.compute_dtype = "bfloat16"      # supported batch-throughput mode
+    syn._check_vocoder_memory(32, 2048)

@@ -156,3 +156,103 @@ def test_listen_backlog_sized_for_bursts(server):
     """Regression: socketserver's default backlog of 5 RST concurrent
     connection bursts, silently killing clients mid-batch."""
     assert server.httpd.request_queue_size >= 64
+
+
+def test_client_disconnect_mid_request_does_not_poison_server(server):
+    """A client that sends a full request and vanishes before the response
+    must not take down the batcher or leak its future; the next client
+    gets served normally."""
+    import socket
+
+    for _ in range(2):
+        s = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+        body = json.dumps({"text": "gone before the reply.",
+                           "n_timesteps": 2}).encode()
+        s.sendall(b"POST /synthesize HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: " + str(len(body)).encode()
+                  + b"\r\n\r\n" + body)
+        s.close()  # vanish while the batch is (or will be) in flight
+    # server still healthy and serving
+    resp = _post(server, {"text": "Still alive after disconnects.",
+                          "n_timesteps": 2})
+    assert resp.headers["Content-Type"] == "audio/wav"
+    assert len(resp.read()) > 44
+
+
+def test_client_disconnect_mid_stream(server):
+    """Dropping a chunked-streaming connection partway exercises the
+    BrokenPipe path in the handler; the server keeps serving."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+    conn.request("POST", "/synthesize",
+                 body=json.dumps({"text": "Stream and abandon me midway.",
+                                  "n_timesteps": 2, "stream": True}),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    _ = resp.read(32)  # take a few bytes, then hang up
+    conn.close()
+    ok = _post(server, {"text": "Post stream disconnect check.",
+                        "n_timesteps": 2})
+    assert len(ok.read()) > 44
+
+
+def test_oversized_text_truncates_to_largest_bucket(server):
+    """Text beyond the largest text bucket must synthesize (truncated),
+    not crash or hang — the serving contract for hostile input sizes."""
+    resp = _post(server, {"text": "word " * 500, "n_timesteps": 2},
+                 timeout=300)
+    assert resp.headers["Content-Type"] == "audio/wav"
+    with wave.open(io.BytesIO(resp.read())) as w:
+        # bounded by largest frame bucket x hop (tiny fixture: 128 x 16)
+        assert 0 < w.getnframes() <= 128 * 16
+
+
+def test_warmup_concurrent_with_traffic(server):
+    """Deploy-time recompiles (warmup) racing live traffic: both complete
+    and the server answers correctly afterwards."""
+    errs = []
+
+    def warm():
+        try:
+            with server.batcher.device_lock:
+                server.synth.warmup(["Warm the compile cache."],
+                                    batch_sizes=[1], n_timesteps=2)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t = threading.Thread(target=warm)
+    t.start()
+    for i in range(3):
+        r = _post(server, {"text": f"Traffic during warmup {i}.",
+                           "n_timesteps": 2})
+        assert len(r.read()) > 44
+    t.join(timeout=300)
+    assert not t.is_alive() and not errs
+
+
+def test_no_thread_leak_after_burst(server):
+    """Handler/batcher threads must wind down after load — a leak here is
+    the footgun soak testing exists to catch."""
+    import time as _time
+
+    # settle, then measure
+    _time.sleep(0.5)
+    before = threading.active_count()
+    for round_ in range(3):
+        threads = [threading.Thread(
+            target=lambda i=i: _post(server, {
+                "text": f"Leak probe {round_} {i}.",
+                "n_timesteps": 2}).read())
+            for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+    deadline = _time.monotonic() + 10.0
+    while _time.monotonic() < deadline:
+        if threading.active_count() <= before + 1:
+            break
+        _time.sleep(0.25)
+    assert threading.active_count() <= before + 1, (
+        before, threading.active_count())
