@@ -101,8 +101,10 @@ def main(argv=None):
         "x": x, "x_lengths": xl,
         "y": mel, "y_lengths": jnp.asarray([t_y], jnp.int32),
     }
+    # return the FULL (state, metrics) so XLA cannot dead-code-eliminate
+    # the backward pass + optimizer update
     flops["train_step"] = graph_flops(
-        lambda s, k, b: train_step(s, k, b, cfg, tcfg)[1]["loss"],
+        lambda s, k, b: train_step(s, k, b, cfg, tcfg),
         state, jax.random.PRNGKey(1), batch)
 
     out = {"shapes": {"tokens": t_x, "frames": t_y, "batch": 1},

@@ -51,8 +51,11 @@ def main(argv=None):
 
     dtype = jnp.dtype(args.dtype)
     results = {}
+    # V1 level geometry (hifigan/config.py:9-10): cumulative upsampling at
+    # each channel width.  C=256 sits right after the first x8 stage.
+    level_t = {256: 8, 128: 64, 64: 128, 32: 256}
     for c in args.channels:
-        t = args.frames * 256 // (c // 32)  # C=32 -> x256 level, C=64 -> x128
+        t = args.frames * level_t[c]
         rbs = [hifigan.init_resblock1(jax.random.PRNGKey(i), c, k, (1, 3, 5))
                for i, k in enumerate(KERNELS)]
         rng = np.random.default_rng(0)
@@ -69,7 +72,7 @@ def main(argv=None):
         impls = {}
         if "xla" in args.impl:
             impls["xla"] = xla_level
-        if "packed" in args.impl:
+        if "packed" in args.impl and c <= 128:  # no lane packing above 128
             from matcha_tts_tpu.ops.pallas.mrf_packed import (
                 mrf_packed, pack_packed_weights)
 
