@@ -66,9 +66,33 @@ class DecoderConfig:
     num_mid_blocks: int = 2
     num_heads: int = 2
     act_fn: str = "snakebeta"
-    # Use the fused Pallas conv+GroupNorm+Mish kernel for Block1D where
-    # shapes allow (ops/pallas/block1d.py); XLA path otherwise.
+    # Legacy switch: force the fused Pallas conv+GroupNorm+Mish Block1D
+    # kernel everywhere shapes allow (ops/pallas/block1d.py).  Superseded
+    # by block1d_impl="auto"; use_pallas=True still forces the kernel.
     use_pallas: bool = False
+    # Block1D implementation: "xla", "pallas" (fused kernel), or "auto"
+    # (fused kernel on TPU at batch >= 8 where shapes tile — measured
+    # faster there (9.30 vs 10.05 ms/estimator pass at batch 32 bf16,
+    # benchmarks/estimator_bench.py) and ~5% slower at batch 1, where
+    # XLA stays selected).
+    block1d_impl: str = "auto"
+    # Transformer-block attention: "xla" (einsum + materialized scores),
+    # "flash" (Pallas online-softmax kernel, ops/pallas/attention.py), or
+    # "auto" (flash on TPU at batch >= 8 where T tiles into 128-blocks).
+    # Default "xla": standalone the flash kernel wins (0.70 -> 0.48 ms per
+    # T=768 block at batch 32 bf16, benchmarks/attn_bench.py) but IN
+    # CONTEXT it loses (estimator pass 10.05 -> 10.53 ms) — the custom
+    # call is a fusion boundary, and XLA's fusion of scale/mask/softmax
+    # into the surrounding projections is worth more than keeping scores
+    # in VMEM at these (T<=768, H=2) shapes.
+    attention_impl: str = "xla"
+
+    def __post_init__(self):
+        for field, valid in (("block1d_impl", ("xla", "pallas", "auto")),
+                             ("attention_impl", ("xla", "flash", "auto"))):
+            v = getattr(self, field)
+            if v not in valid:
+                raise ValueError(f"{field}={v!r} is not one of {valid}")
 
 
 @dataclasses.dataclass(frozen=True)

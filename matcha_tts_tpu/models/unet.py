@@ -81,21 +81,49 @@ def init_attention(key, query_dim: int, heads: int, dim_head: int):
     }
 
 
+def _use_flash_attention(impl: str, b: int, t: int, dim_head: int) -> bool:
+    """Resolve the attention implementation for this trace.
+
+    "auto" selects the flash kernel on the TPU backend at batch >= 8
+    (where the materialized (B, H, T, T) scores cost real HBM bandwidth)
+    when T tiles into the kernel's 128-blocks; batch-1 latency graphs
+    keep the XLA path, which measures slightly faster there."""
+    if impl == "xla":
+        return False
+    from matcha_tts_tpu.ops.pallas.attention import flash_attention_ok
+
+    if impl == "flash":
+        return flash_attention_ok(t, dim_head)
+    return (jax.default_backend() == "tpu" and b >= 8
+            and flash_attention_ok(t, dim_head))
+
+
 def attention(params, x, key_mask, *, heads: int, dim_head: int,
-              dropout_p=0.0, rng: Optional[Rng] = None):
+              dropout_p=0.0, rng: Optional[Rng] = None, impl: str = "xla"):
     """x: (B, T, C); key_mask: (B, T) 1=keep.  Masked key positions are
     filled with the dtype minimum (model.py:693-697) — unlike the encoder's
-    -1e4 fill."""
+    -1e4 fill.
+
+    With the flash impl (ops/pallas/attention.py), scores stay in VMEM;
+    valid-row outputs match the XLA path (padded query rows differ but
+    every downstream consumer pre-masks, so they never reach valid
+    positions — see the wrapper's docstring)."""
     b, t, _ = x.shape
     q = nn.linear(params["to_q"], x).reshape(b, t, heads, dim_head)
     k = nn.linear(params["to_k"], x).reshape(b, t, heads, dim_head)
     v = nn.linear(params["to_v"], x).reshape(b, t, heads, dim_head)
     scale = dim_head ** -0.5
-    sim = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
-    neg = jnp.finfo(sim.dtype).min
-    sim = jnp.where(key_mask[:, None, None, :] == 0, neg, sim)
-    attn = jax.nn.softmax(sim, axis=-1)
-    out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b, t, heads * dim_head)
+    if _use_flash_attention(impl, b, t, dim_head):
+        from matcha_tts_tpu.ops.pallas.attention import flash_mha
+
+        out = flash_mha(q, k, v, key_mask, sm_scale=scale)
+    else:
+        sim = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
+        neg = jnp.finfo(sim.dtype).min
+        sim = jnp.where(key_mask[:, None, None, :] == 0, neg, sim)
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(
+            b, t, heads * dim_head)
     out = nn.linear(params["to_out"], out)
     return nn.dropout(out, dropout_p, rng)
 
@@ -116,10 +144,11 @@ def init_transformer_block(key, dim: int, heads: int, dim_head: int):
 
 
 def transformer_block(params, x, key_mask, *, heads, dim_head, dropout_p=0.0,
-                      rng: Optional[Rng] = None):
+                      rng: Optional[Rng] = None, attn_impl: str = "xla"):
     h = nn.layer_norm(params["norm1"], x)
     x = x + attention(params["attn1"], h, key_mask, heads=heads,
-                      dim_head=dim_head, dropout_p=dropout_p, rng=rng)
+                      dim_head=dim_head, dropout_p=dropout_p, rng=rng,
+                      impl=attn_impl)
     h = nn.layer_norm(params["norm3"], x)
     x = x + feed_forward(params["ff"], h, dropout_p=dropout_p, rng=rng)
     return x
@@ -306,7 +335,13 @@ def decoder(params, x, mask, mu, t, cfg: DecoderConfig,
 
     heads, dim_head = cfg.num_heads, cfg.attention_head_dim
     dropout_p = cfg.dropout if rng is not None else 0.0
-    use_pallas = cfg.use_pallas
+    b = x.shape[0]
+    # "auto" enables the fused Block1D kernel on TPU at batch >= 8, where
+    # it measures faster than XLA (estimator_bench.py); batch-1 keeps XLA.
+    use_pallas = (cfg.use_pallas or cfg.block1d_impl == "pallas"
+                  or (cfg.block1d_impl == "auto"
+                      and jax.default_backend() == "tpu" and b >= 8))
+    attn_impl = cfg.attention_impl
 
     n_levels = len(params["down_blocks"])
     hiddens = []
@@ -316,7 +351,8 @@ def decoder(params, x, mask, mu, t, cfg: DecoderConfig,
         h = resnet_block1d(level["resnet"], h, m, t_emb, use_pallas)
         for tb in level["transformer_blocks"]:
             h = transformer_block(tb, h, m, heads=heads, dim_head=dim_head,
-                                  dropout_p=dropout_p, rng=rng)
+                                  dropout_p=dropout_p, rng=rng,
+                                  attn_impl=attn_impl)
         hiddens.append(h)
         if i < n_levels - 1:
             h = nn.conv1d(level["downsample"], h * m[..., None], stride=2, padding=1)
@@ -334,7 +370,8 @@ def decoder(params, x, mask, mu, t, cfg: DecoderConfig,
         h = resnet_block1d(block["resnet"], h, m_mid, t_emb, use_pallas)
         for tb in block["transformer_blocks"]:
             h = transformer_block(tb, h, m_mid, heads=heads, dim_head=dim_head,
-                                  dropout_p=dropout_p, rng=rng)
+                                  dropout_p=dropout_p, rng=rng,
+                                  attn_impl=attn_impl)
 
     n_ups = len(params["up_blocks"])
     for i, level in enumerate(params["up_blocks"]):
@@ -347,7 +384,8 @@ def decoder(params, x, mask, mu, t, cfg: DecoderConfig,
         h = resnet_block1d(level["resnet"], h, m, t_emb, use_pallas)
         for tb in level["transformer_blocks"]:
             h = transformer_block(tb, h, m, heads=heads, dim_head=dim_head,
-                                  dropout_p=dropout_p, rng=rng)
+                                  dropout_p=dropout_p, rng=rng,
+                                  attn_impl=attn_impl)
         if i < n_ups - 1:
             h = nn.conv_transpose1d(level["upsample"], h * m[..., None], stride=2, padding=1)
         else:
