@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--t-y", type=int, default=768)
     p.add_argument("--unrolls", type=int, nargs="+",
                    default=[1, 4, 8, 16, 32])
+    p.add_argument("--impl", default="scan", choices=("scan", "pallas"),
+                   help="scan: sweep unrolls of the portable path; pallas: "
+                        "time the VMEM-resident kernel (ops/pallas/mas.py)")
     args = p.parse_args(argv)
 
     from matcha_tts_tpu.ops.mas import maximum_path, maximum_path_numpy
@@ -56,19 +59,22 @@ def main(argv=None):
     oracle = maximum_path_numpy(np.asarray(value), np.asarray(mask))
 
     results = {}
-    for unroll in args.unrolls:
+    variants = ([("pallas", 1)] if args.impl == "pallas"
+                else [("scan", u) for u in args.unrolls])
+    for impl, unroll in variants:
         @jax.jit
-        def chain(key, unroll=unroll):
+        def chain(key, impl=impl, unroll=unroll):
             def body(i, carry):
                 acc, _ = carry
-                path = maximum_path(value + acc * 0, mask, unroll=unroll)
+                path = maximum_path(value + acc * 0, mask, unroll=unroll,
+                                    impl=impl)
                 return acc + jnp.sum(path), key
             acc, _ = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0), key))
             return acc
 
-        # parity at this unroll
-        got = np.asarray(maximum_path(value, mask, unroll=unroll))
-        assert np.array_equal(got, oracle), f"unroll={unroll} mismatch"
+        # parity at this variant
+        got = np.asarray(maximum_path(value, mask, unroll=unroll, impl=impl))
+        assert np.array_equal(got, oracle), f"{impl}/unroll={unroll} mismatch"
 
         float(chain(jax.random.PRNGKey(0)))
         ts = []
@@ -76,7 +82,8 @@ def main(argv=None):
             t0 = time.perf_counter()
             float(chain(jax.random.PRNGKey(s)))
             ts.append((time.perf_counter() - t0) / CHAIN)
-        results[f"unroll{unroll}_ms"] = round(float(np.median(ts)) * 1e3, 3)
+        label = "pallas" if impl == "pallas" else f"unroll{unroll}"
+        results[f"{label}_ms"] = round(float(np.median(ts)) * 1e3, 3)
 
     print(json.dumps({"batch": b, "t_x": t_x, "t_y": t_y, **results}))
     return results

@@ -116,7 +116,7 @@ def _maximum_path_single(value, t_x, t_y, unroll: int = 1):
 
 
 def maximum_path(neg_cent: jnp.ndarray, mask: jnp.ndarray,
-                 unroll: int = 16) -> jnp.ndarray:
+                 unroll: int = 16, impl: str = "auto") -> jnp.ndarray:
     """Batched on-device MAS.
 
     neg_cent: (B, T_x, T_y) Gaussian log-prior
@@ -127,7 +127,21 @@ def maximum_path(neg_cent: jnp.ndarray, mask: jnp.ndarray,
     with lengths recovered from the mask exactly as the reference does.
     `unroll` only changes codegen (benchmarks/mas_bench.py: 9.4 -> 8.5 ms
     at (32, 256, 768) on v5e with unroll=16); results are identical.
+
+    `impl`: "scan" (portable lax.scan DP), "pallas" (VMEM-resident TPU
+    kernel, ops/pallas/mas.py), or "auto" (pallas on the TPU backend
+    where the shape gate passes).
     """
+    if impl != "scan":
+        from matcha_tts_tpu.ops.pallas.mas import (
+            mas_pallas_ok,
+            maximum_path_pallas,
+        )
+
+        b, t_x, t_y = neg_cent.shape
+        on_tpu = jax.default_backend() == "tpu"
+        if (impl == "pallas" or on_tpu) and mas_pallas_ok(b, t_x, t_y):
+            return maximum_path_pallas(neg_cent, mask)
     dtype = neg_cent.dtype
     value = neg_cent.astype(jnp.float32)
     m = mask.astype(jnp.float32)
