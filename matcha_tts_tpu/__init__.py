@@ -18,6 +18,12 @@ Public surface mirrors the reference APIs (see SURVEY.md §1-§3).
 
 __version__ = "0.1.0"
 
+# Make Pallas kernel cache keys independent of kernel source locations
+# (see ops/pallas/_stable.py; opt out with MATCHA_MOSAIC_LOCATIONS=1).
+from matcha_tts_tpu.ops.pallas import _stable as _mosaic_stable
+
+_mosaic_stable.install()
+
 from matcha_tts_tpu.config import (  # noqa: F401
     AudioConfig,
     CFMConfig,

@@ -91,7 +91,7 @@ def _block1d_kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, o_ref,
 def block1d_fused(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
                   gamma: jnp.ndarray, beta: jnp.ndarray,
                   groups: int = 8, eps: float = 1e-5,
-                  interpret: bool = False) -> jnp.ndarray:
+                  interpret: bool | None = None) -> jnp.ndarray:
     """Fused Block1D: x (B, T, C_in) -> (B, T, C_out).
 
     Caller contract: x is already masked (x * mask); caller re-masks the
@@ -119,7 +119,10 @@ def block1d_fused(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
         out_specs=pl.BlockSpec((1, t, c_out), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, c_out), x.dtype),
-        interpret=interpret or jax.default_backend() == "cpu",
+        # None = auto: interpret on the CPU backend.  Explicit False forces
+        # Mosaic lowering (used by the TPU cross-lowering regression tests).
+        interpret=(jax.default_backend() == "cpu" if interpret is None
+                   else interpret),
     )(x, weight, bias.reshape(1, -1), gamma.reshape(1, -1),
       beta.reshape(1, -1))
 
@@ -136,7 +139,7 @@ def _block1d_reference(x, weight, bias, gamma, beta, groups: int, eps: float):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def block1d_fused_vjp(x, weight, bias, gamma, beta, groups: int = 8,
-                      eps: float = 1e-5, interpret: bool = False):
+                      eps: float = 1e-5, interpret: bool | None = None):
     """Differentiable fused Block1D: Pallas forward + rematerializing VJP.
 
     The backward saves only the five inputs and re-derives gradients from

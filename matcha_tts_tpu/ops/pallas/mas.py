@@ -49,7 +49,10 @@ def _fwd_kernel(value_ref, t_x_ref, t_y_ref, col_out_ref, down_ref, p_ref,
     """Grid step: process `chunk` columns; carry column in p_ref scratch."""
     step = pl.program_id(0)
     b = value_ref.shape[1]
-    xs = jax.lax.broadcasted_iota(jnp.float32, (b, t_x_size), 1)
+    # Mosaic's tpu.iota only produces integers — build int32 and cast
+    # (a float32 broadcasted_iota fails lowering verification on TPU).
+    xs = jax.lax.broadcasted_iota(jnp.int32, (b, t_x_size), 1).astype(
+        jnp.float32)
     t_x = t_x_ref[...]  # (B, 1) float32
     t_y = t_y_ref[...]
 
@@ -99,7 +102,8 @@ def _bwd_kernel(down_ref, t_x_ref, t_y_ref, path_ref, idx_ref,
     """Reversed grid: emit the one-hot path walking the decision bits."""
     step = pl.program_id(0)
     b = down_ref.shape[1]
-    xs = jax.lax.broadcasted_iota(jnp.float32, (b, t_x_size), 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (b, t_x_size), 1).astype(
+        jnp.float32)
     t_y = t_y_ref[...]
 
     @pl.when(step == 0)
@@ -131,7 +135,7 @@ def mas_pallas_ok(b: int, t_x: int, t_y: int) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def maximum_path_pallas(neg_cent: jnp.ndarray, mask: jnp.ndarray,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool | None = None) -> jnp.ndarray:
     """Drop-in for ops.mas.maximum_path on TPU.
 
     neg_cent: (B, T_x, T_y) log-prior; mask: attention-domain mask.
@@ -151,6 +155,11 @@ def maximum_path_pallas(neg_cent: jnp.ndarray, mask: jnp.ndarray,
     # padded items: t_x=1, t_y=1 keeps their band trivially consistent
     t_xs = jnp.pad(t_xs, (0, bp - b), constant_values=1.0)[:, None]
     t_ys = jnp.pad(t_ys, (0, bp - b), constant_values=1.0)[:, None]
+
+    # None = auto: interpret on the CPU backend.  Explicit False forces
+    # Mosaic lowering (used by the TPU cross-lowering regression tests).
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
 
     vt = value.transpose(2, 0, 1)  # (T_y, B, T_x): columns stream in chunks
     n_chunks = yp // _CHUNK

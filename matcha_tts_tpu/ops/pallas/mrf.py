@@ -170,7 +170,7 @@ def mrf_pallas_ok(t: int, c: int) -> bool:
 def mrf_fused(x: jnp.ndarray, w1, b1, w2, b2,
               kernel_sizes: Tuple[int, ...] = _KERNELS,
               dilations: Tuple[int, ...] = _DILATIONS,
-              slope: float = 0.1, interpret: bool = False) -> jnp.ndarray:
+              slope: float = 0.1, interpret: bool | None = None) -> jnp.ndarray:
     """Fused 3-branch MRF: x (B, T, C) -> (B, T, C) = mean of resblocks."""
     b, t, c = x.shape
     tile = _tile_for(c)
@@ -216,5 +216,6 @@ def mrf_fused(x: jnp.ndarray, w1, b1, w2, b2,
             pltpu.VMEM((tile + 2 * HALO, c), jnp.float32),  # xt
             pltpu.VMEM((tile, c), jnp.float32),             # acc
         ],
-        interpret=interpret or jax.default_backend() == "cpu",
+        interpret=(jax.default_backend() == "cpu" if interpret is None
+                   else interpret),
     )(x, x, x, w1, b1, w2, b2)

@@ -393,7 +393,7 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                kernel_sizes: Tuple[int, ...] = _KERNELS,
                dilations: Tuple[Tuple[int, ...], ...] = _DILATIONS,
                slope: float = 0.1, tile: int = 0, kstack: int = 16,
-               interpret: bool = False) -> jnp.ndarray:
+               interpret: bool | None = None) -> jnp.ndarray:
     """Fused packed 3-branch MRF: x (B, T, C) -> (B, T, C), C in {32, 64, 128}.
 
     w, b from pack_packed_weights (same dtype as x for bf16; fp32 inputs
@@ -450,7 +450,10 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             pltpu.VMEM((tile + 2 * halo, LANES), jnp.float32),   # xt
             pltpu.VMEM((tile, LANES), jnp.float32),              # acc
         ],
-        interpret=interpret or jax.default_backend() == "cpu",
+        # None = auto: interpret on the CPU backend.  Explicit False forces
+        # Mosaic lowering (used by the TPU cross-lowering regression tests).
+        interpret=(jax.default_backend() == "cpu" if interpret is None
+                   else interpret),
     )(xp, xp, xp, w, b)
     return out.reshape(bsz, t, c)
 
@@ -479,7 +482,7 @@ def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
                   up_padding: int = 1, tile: int = 0, kstack: int = 16,
                   wpost: jnp.ndarray = None, bpost: jnp.ndarray = None,
                   post_k: int = 7,
-                  interpret: bool = False):
+                  interpret: bool | None = None):
     """Fused generator level: x (B, T_in, C_in) -> (B, T_in*stride, C_in//2).
 
     Computes LeakyReLU(x) -> ConvTranspose1d(stride, up_k, up_padding) ->
@@ -582,7 +585,8 @@ def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
             pltpu.VMEM((ext, LANES), jnp.float32),               # xup
             pltpu.VMEM((ext + 2 * hup, LANES), act_dtype),       # actin
         ],
-        interpret=interpret or jax.default_backend() == "cpu",
+        interpret=(jax.default_backend() == "cpu" if interpret is None
+                   else interpret),
     )(*operands)
     if post_qs:
         lvl, wavp = out
