@@ -58,6 +58,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from matcha_tts_tpu.ops.pallas.attention import flash_mha
+    from matcha_tts_tpu.ops.pallas.attn_vmem import vmem_mha
 
     dt = jnp.dtype(args.dtype)
     scale = DIM_HEAD ** -0.5
@@ -80,6 +81,9 @@ def main(argv=None):
         valid = np.asarray(key_mask)[:, :, None].astype(bool)
         diff = float(np.abs(np.where(valid, o_x - o_f, 0.0)).max())
         results[f"t{t}_maxdiff_valid"] = diff
+        o_m = np.asarray(vmem_mha(q, k, v, key_mask, sm_scale=scale),
+                         np.float32)
+        results[f"t{t}_vmem_maxdiff_all"] = float(np.abs(o_x - o_m).max())
 
         @jax.jit
         def xla_chain(key, q=q, k=k, v=v, key_mask=key_mask):
@@ -100,8 +104,19 @@ def main(argv=None):
             acc, _ = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0), key))
             return acc
 
+        @jax.jit
+        def vmem_chain(key, q=q, k=k, v=v, key_mask=key_mask):
+            def body(i, carry):
+                acc, _ = carry
+                o = vmem_mha(q + (acc * 0).astype(dt), k, v, key_mask,
+                             sm_scale=scale)
+                return acc + jnp.sum(o.astype(jnp.float32)), key
+            acc, _ = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0), key))
+            return acc
+
         results[f"t{t}_xla_ms"] = round(chained_time(xla_chain) * 1e3, 3)
         results[f"t{t}_flash_ms"] = round(chained_time(flash_chain) * 1e3, 3)
+        results[f"t{t}_vmem_ms"] = round(chained_time(vmem_chain) * 1e3, 3)
 
     out = {"batch": args.batch, "dtype": args.dtype, "heads": HEADS,
            "dim_head": DIM_HEAD, **results}

@@ -77,19 +77,20 @@ class DecoderConfig:
     # XLA stays selected).
     block1d_impl: str = "auto"
     # Transformer-block attention: "xla" (einsum + materialized scores),
-    # "flash" (Pallas online-softmax kernel, ops/pallas/attention.py), or
-    # "auto" (flash on TPU at batch >= 8 where T tiles into 128-blocks).
-    # Default "xla": standalone the flash kernel wins (0.70 -> 0.48 ms per
-    # T=768 block at batch 32 bf16, benchmarks/attn_bench.py) but IN
-    # CONTEXT it loses (estimator pass 10.05 -> 10.53 ms) — the custom
-    # call is a fusion boundary, and XLA's fusion of scale/mask/softmax
-    # into the surrounding projections is worth more than keeping scores
-    # in VMEM at these (T<=768, H=2) shapes.
+    # "flash" (Pallas online-softmax kernel, ops/pallas/attention.py),
+    # "vmem" (whole-row-softmax Pallas kernel, ops/pallas/attn_vmem.py), or
+    # "auto" (vmem on TPU at batch >= 8 where the shape gate passes).
+    # Measured (benchmarks/attn_bench.py / estimator_bench.py, b32 bf16):
+    # flash wins standalone (0.70 -> 0.48 ms per T=768 block) but LOSES in
+    # context (estimator pass 10.05 -> 10.53 ms) — online-softmax overhead
+    # plus a fusion boundary.  vmem keeps scores in VMEM with a plain
+    # softmax and matches the XLA path bit-for-bit at padded rows too.
     attention_impl: str = "xla"
 
     def __post_init__(self):
         for field, valid in (("block1d_impl", ("xla", "pallas", "auto")),
-                             ("attention_impl", ("xla", "flash", "auto"))):
+                             ("attention_impl",
+                              ("xla", "flash", "vmem", "auto"))):
             v = getattr(self, field)
             if v not in valid:
                 raise ValueError(f"{field}={v!r} is not one of {valid}")

@@ -81,21 +81,27 @@ def init_attention(key, query_dim: int, heads: int, dim_head: int):
     }
 
 
-def _use_flash_attention(impl: str, b: int, t: int, dim_head: int) -> bool:
+def _resolve_attention_impl(impl: str, b: int, t: int, dim_head: int) -> str:
     """Resolve the attention implementation for this trace.
 
-    "auto" selects the flash kernel on the TPU backend at batch >= 8
-    (where the materialized (B, H, T, T) scores cost real HBM bandwidth)
-    when T tiles into the kernel's 128-blocks; batch-1 latency graphs
-    keep the XLA path, which measures slightly faster there."""
-    if impl == "xla":
-        return False
-    from matcha_tts_tpu.ops.pallas.attention import flash_attention_ok
-
+    "auto" selects the vmem kernel (whole-row softmax, exact XLA
+    semantics) on the TPU backend at batch >= 8 — where the materialized
+    (B, H, T, T) scores cost real HBM bandwidth — when the shape gate
+    passes; batch-1 latency graphs keep the XLA path, which measures
+    faster there.  "flash"/"vmem" force their kernel if the shape allows,
+    falling back to XLA otherwise."""
     if impl == "flash":
-        return flash_attention_ok(t, dim_head)
-    return (jax.default_backend() == "tpu" and b >= 8
-            and flash_attention_ok(t, dim_head))
+        from matcha_tts_tpu.ops.pallas.attention import flash_attention_ok
+
+        return "flash" if flash_attention_ok(t, dim_head) else "xla"
+    if impl in ("vmem", "auto"):
+        from matcha_tts_tpu.ops.pallas.attn_vmem import attn_vmem_ok
+
+        if attn_vmem_ok(t, dim_head) and (
+                impl == "vmem"
+                or (jax.default_backend() == "tpu" and b >= 8)):
+            return "vmem"
+    return "xla"
 
 
 def attention(params, x, key_mask, *, heads: int, dim_head: int,
@@ -109,15 +115,27 @@ def attention(params, x, key_mask, *, heads: int, dim_head: int,
     every downstream consumer pre-masks, so they never reach valid
     positions — see the wrapper's docstring)."""
     b, t, _ = x.shape
-    q = nn.linear(params["to_q"], x).reshape(b, t, heads, dim_head)
-    k = nn.linear(params["to_k"], x).reshape(b, t, heads, dim_head)
-    v = nn.linear(params["to_v"], x).reshape(b, t, heads, dim_head)
+    qf = nn.linear(params["to_q"], x)  # (B, T, H*D)
+    kf = nn.linear(params["to_k"], x)
+    vf = nn.linear(params["to_v"], x)
     scale = dim_head ** -0.5
-    if _use_flash_attention(impl, b, t, dim_head):
+    resolved = _resolve_attention_impl(impl, b, t, dim_head)
+    if resolved == "vmem":
+        from matcha_tts_tpu.ops.pallas.attn_vmem import vmem_mha_packed
+
+        out = vmem_mha_packed(qf, kf, vf, key_mask, heads=heads,
+                              sm_scale=scale)
+    elif resolved == "flash":
         from matcha_tts_tpu.ops.pallas.attention import flash_mha
 
-        out = flash_mha(q, k, v, key_mask, sm_scale=scale)
+        out = flash_mha(qf.reshape(b, t, heads, dim_head),
+                        kf.reshape(b, t, heads, dim_head),
+                        vf.reshape(b, t, heads, dim_head),
+                        key_mask, sm_scale=scale)
     else:
+        q = qf.reshape(b, t, heads, dim_head)
+        k = kf.reshape(b, t, heads, dim_head)
+        v = vf.reshape(b, t, heads, dim_head)
         sim = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
         neg = jnp.finfo(sim.dtype).min
         sim = jnp.where(key_mask[:, None, None, :] == 0, neg, sim)

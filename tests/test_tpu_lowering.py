@@ -122,6 +122,17 @@ def test_mrf_tap_lowers_for_tpu():
     _assert_mosaic(txt, 1)
 
 
+def test_vmem_attention_lowers_for_tpu():
+    from matcha_tts_tpu.ops.pallas.attn_vmem import vmem_mha
+
+    q = jax.ShapeDtypeStruct((4, 768, 2, 64), jnp.bfloat16)
+    m = jax.ShapeDtypeStruct((4, 768), jnp.float32)
+    txt = lower_tpu(
+        lambda qq, mm: vmem_mha(qq, qq, qq, mm, sm_scale=0.125,
+                                interpret=False), q, m)
+    _assert_mosaic(txt, 1)
+
+
 def test_flash_attention_lowers_for_tpu():
     from matcha_tts_tpu.ops.pallas.attention import flash_mha
 
