@@ -251,7 +251,25 @@ def init_resnet_block1d(key, dim: int, dim_out: int, time_emb_dim: int):
 
 def resnet_block1d(params, x, mask, t_emb, use_pallas: bool = False):
     """block1 -> (+ time-MLP broadcast) -> block2 -> + 1x1 residual
-    (model.py:777-790).  t_emb: (B, time_emb_dim)."""
+    (model.py:777-790).  t_emb: (B, time_emb_dim).
+
+    With `use_pallas`, shapes permitting, the whole residual block runs
+    as one fused VMEM-resident kernel (ops/pallas/resnet1d.py) —
+    including under `jax.grad` via its rematerializing custom VJP."""
+    if use_pallas:
+        from matcha_tts_tpu.ops.pallas.resnet1d import (
+            resnet1d_fused_vjp,
+            resnet1d_pallas_ok,
+        )
+
+        t, c_in = x.shape[1], x.shape[2]
+        c_out = params["block1"]["conv"]["weight"].shape[-1]
+        if resnet1d_pallas_ok(t, c_in, c_out):
+            temb_row = nn.linear(params["mlp"], nn.mish(t_emb))
+            return resnet1d_fused_vjp(
+                x * mask[..., None], mask, temb_row,
+                params["block1"], params["block2"],
+                params["res_conv"]["weight"][0], params["res_conv"]["bias"])
     h = block1d(params["block1"], x, mask, use_pallas=use_pallas)
     h = h + nn.linear(params["mlp"], nn.mish(t_emb))[:, None, :]
     h = block1d(params["block2"], h, mask, use_pallas=use_pallas)

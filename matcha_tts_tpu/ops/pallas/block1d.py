@@ -35,12 +35,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _block1d_kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, o_ref,
-                    *, groups: int, eps: float):
-    """One batch item: x (1, T, C_in) -> o (1, T, C_out)."""
-    x = x_ref[0]
+def conv_gn_mish(x, w, b, gamma, beta, *, groups: int, eps: float):
+    """VMEM-value helper: k=3 'same' conv + GroupNorm + Mish.
+
+    x: (T, C_in); w: (3, C_in, C_out); b/gamma/beta: (1, C_out).
+    Returns (T, C_out) float32.  Shared by the Block1D and ResnetBlock1D
+    kernels (ops/pallas/resnet1d.py).
+    """
     t, c_in = x.shape
-    c_out = o_ref.shape[-1]
+    c_out = w.shape[-1]
 
     # k=3 'same' conv as three shifted matmuls on the MXU.  fp32 inputs
     # use the HIGHEST-precision decomposition so the fused path matches
@@ -48,15 +51,15 @@ def _block1d_kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, o_ref,
     # rejects an fp32-precision contract on bf16 operands: "Bad lhs type").
     prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    y = jnp.dot(x, w_ref[1], precision=prec,
+    y = jnp.dot(x, w[1], precision=prec,
                 preferred_element_type=jnp.float32)
     x_prev = jnp.concatenate([jnp.zeros((1, c_in), x.dtype), x[:-1]], axis=0)
-    y += jnp.dot(x_prev, w_ref[0], precision=prec,
+    y += jnp.dot(x_prev, w[0], precision=prec,
                  preferred_element_type=jnp.float32)
     x_next = jnp.concatenate([x[1:], jnp.zeros((1, c_in), x.dtype)], axis=0)
-    y += jnp.dot(x_next, w_ref[2], precision=prec,
+    y += jnp.dot(x_next, w[2], precision=prec,
                  preferred_element_type=jnp.float32)
-    y += b_ref[0].astype(jnp.float32)
+    y += b.astype(jnp.float32)
 
     # GroupNorm statistics over (T, C/G) per group.  Mosaic cannot split
     # the 128-lane channel dim, so group reduction/broadcast run as
@@ -81,10 +84,18 @@ def _block1d_kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, o_ref,
     var_c = jnp.dot(var_g, member.T, precision=prec,
                     preferred_element_type=jnp.float32)
     yn = d * jax.lax.rsqrt(var_c + eps)
-    yn = yn * gamma_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32)
+    yn = yn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
 
     # Mish(x) = x * tanh(softplus(x))
-    o_ref[0] = (yn * jnp.tanh(jax.nn.softplus(yn))).astype(o_ref.dtype)
+    return yn * jnp.tanh(jax.nn.softplus(yn))
+
+
+def _block1d_kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, o_ref,
+                    *, groups: int, eps: float):
+    """One batch item: x (1, T, C_in) -> o (1, T, C_out)."""
+    out = conv_gn_mish(x_ref[0], w_ref[...], b_ref[...], gamma_ref[...],
+                       beta_ref[...], groups=groups, eps=eps)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "eps", "interpret"))

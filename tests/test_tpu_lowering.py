@@ -122,6 +122,22 @@ def test_mrf_tap_lowers_for_tpu():
     _assert_mosaic(txt, 1)
 
 
+def test_resnet1d_kernel_lowers_for_tpu():
+    from matcha_tts_tpu.models import unet
+    from matcha_tts_tpu.ops.pallas.resnet1d import resnet1d_fused
+
+    params = unet.init_resnet_block1d(jax.random.PRNGKey(0), 512, 256, 1024)
+    x = jax.ShapeDtypeStruct((2, 768, 512), jnp.bfloat16)
+    m = jax.ShapeDtypeStruct((2, 768), jnp.float32)
+    temb = jax.ShapeDtypeStruct((2, 256), jnp.bfloat16)
+    txt = lower_tpu(
+        lambda xx, mm, tt: resnet1d_fused(
+            xx, mm, tt, params["block1"], params["block2"],
+            params["res_conv"]["weight"][0], params["res_conv"]["bias"],
+            interpret=False), x, m, temb)
+    _assert_mosaic(txt, 1)
+
+
 def test_vmem_attention_lowers_for_tpu():
     from matcha_tts_tpu.ops.pallas.attn_vmem import vmem_mha
 
