@@ -62,9 +62,12 @@ def _resnet_kernel(x_ref, m_ref, temb_ref, w1_ref, b1_ref, g1_ref, be1_ref,
 
 def resnet1d_pallas_ok(t: int, c_in: int, c_out: int) -> bool:
     """Shape gate: (8, 128)-tileable dims and a VMEM budget that covers
-    x + two fp32 intermediates + weights."""
+    x + two fp32 intermediates + weights.  The 8 MB cap (vs ~16 MB VMEM)
+    leaves headroom for the pipeline's double-buffered input/output
+    blocks; the largest batch-mode bucket at up-path widths (T=2048,
+    c_in=512) intentionally falls back to the Block1D pair."""
     fits = (t * c_in + 2 * t * c_out) * 4 + 6 * c_in * c_out * 4 \
-        < 12 * 1024 * 1024
+        < 8 * 1024 * 1024
     return (t % 8 == 0 and c_in % 128 == 0 and c_out % 128 == 0 and fits)
 
 
