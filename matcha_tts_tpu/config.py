@@ -70,21 +70,25 @@ class DecoderConfig:
     # kernel everywhere shapes allow (ops/pallas/block1d.py).  Superseded
     # by block1d_impl="auto"; use_pallas=True still forces the kernel.
     use_pallas: bool = False
-    # Block1D implementation: "xla", "pallas" (fused kernel), or "auto"
-    # (fused kernel on TPU at batch >= 8 where shapes tile — measured
-    # faster there (9.30 vs 10.05 ms/estimator pass at batch 32 bf16,
-    # benchmarks/estimator_bench.py) and ~5% slower at batch 1, where
-    # XLA stays selected).
+    # Block1D implementation: "xla", "pallas" (force the fused kernels:
+    # whole-resnet where ops/pallas/resnet1d.py's gate passes, else the
+    # fused Block1D pair), or "auto".  "auto" resolves to XLA at every
+    # batch — measured 2026-08-17 (benchmarks/estimator_bench.py, v5e
+    # bf16, batch 32): XLA 8.48-8.77 ms/estimator pass vs fused resnet
+    # 9.40 and fused Block1D pair 9.71; batch 8 is a tie.  The forced
+    # mode remains for fp32-exact GroupNorm stats and training remat.
     block1d_impl: str = "auto"
     # Transformer-block attention: "xla" (einsum + materialized scores),
     # "flash" (Pallas online-softmax kernel, ops/pallas/attention.py),
     # "vmem" (whole-row-softmax Pallas kernel, ops/pallas/attn_vmem.py), or
-    # "auto" (vmem on TPU at batch >= 8 where the shape gate passes).
-    # Measured (benchmarks/attn_bench.py / estimator_bench.py, b32 bf16):
+    # "auto" (currently == "xla" at every shape).  Measured
+    # (benchmarks/attn_bench.py / estimator_bench.py, v5e bf16):
     # flash wins standalone (0.70 -> 0.48 ms per T=768 block) but LOSES in
-    # context (estimator pass 10.05 -> 10.53 ms) — online-softmax overhead
-    # plus a fusion boundary.  vmem keeps scores in VMEM with a plain
-    # softmax and matches the XLA path bit-for-bit at padded rows too.
+    # context (estimator pass +0.5 ms) — online-softmax overhead plus a
+    # fusion boundary.  vmem keeps scores in VMEM with a plain softmax and
+    # matches the XLA path bit-for-bit at padded rows too, but measures a
+    # TIE within run noise at batch 32 (8.50-8.83 vs 8.48-8.77 ms
+    # estimator pass, 2026-08-17) — so the simpler XLA path stays default.
     attention_impl: str = "xla"
 
     def __post_init__(self):

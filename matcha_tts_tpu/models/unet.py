@@ -84,22 +84,21 @@ def init_attention(key, query_dim: int, heads: int, dim_head: int):
 def _resolve_attention_impl(impl: str, b: int, t: int, dim_head: int) -> str:
     """Resolve the attention implementation for this trace.
 
-    "auto" selects the vmem kernel (whole-row softmax, exact XLA
-    semantics) on the TPU backend at batch >= 8 — where the materialized
-    (B, H, T, T) scores cost real HBM bandwidth — when the shape gate
-    passes; batch-1 latency graphs keep the XLA path, which measures
-    faster there.  "flash"/"vmem" force their kernel if the shape allows,
-    falling back to XLA otherwise."""
+    "auto" resolves to the XLA einsum path at every shape: the vmem
+    kernel measured a TIE within run noise at batch 32 (8.50-8.83 ms vs
+    XLA's 8.48-8.77 per estimator pass, benchmarks/estimator_bench.py,
+    v5e bf16 2026-08-17) and no better at batch 8, so the simpler path
+    stays default.  "flash"/"vmem" force their kernel if the shape
+    allows, falling back to XLA otherwise."""
+    del b  # batch does not affect resolution; kept for call-site symmetry
     if impl == "flash":
         from matcha_tts_tpu.ops.pallas.attention import flash_attention_ok
 
         return "flash" if flash_attention_ok(t, dim_head) else "xla"
-    if impl in ("vmem", "auto"):
+    if impl == "vmem":
         from matcha_tts_tpu.ops.pallas.attn_vmem import attn_vmem_ok
 
-        if attn_vmem_ok(t, dim_head) and (
-                impl == "vmem"
-                or (jax.default_backend() == "tpu" and b >= 8)):
+        if attn_vmem_ok(t, dim_head):
             return "vmem"
     return "xla"
 
@@ -372,11 +371,13 @@ def decoder(params, x, mask, mu, t, cfg: DecoderConfig,
     heads, dim_head = cfg.num_heads, cfg.attention_head_dim
     dropout_p = cfg.dropout if rng is not None else 0.0
     b = x.shape[0]
-    # "auto" enables the fused Block1D kernel on TPU at batch >= 8, where
-    # it measures faster than XLA (estimator_bench.py); batch-1 keeps XLA.
-    use_pallas = (cfg.use_pallas or cfg.block1d_impl == "pallas"
-                  or (cfg.block1d_impl == "auto"
-                      and jax.default_backend() == "tpu" and b >= 8))
+    # "auto" resolves to XLA at every batch: the fused-kernel paths
+    # measured SLOWER at batch 32 bf16 (fused resnet 9.40 ms, fused
+    # Block1D pair 9.71 ms vs XLA 8.48-8.77 per estimator pass,
+    # benchmarks/estimator_bench.py, v5e 2026-08-17) and neutral at
+    # batch 8.  The kernels stay available as forced modes ("pallas" /
+    # use_pallas) for fp32-exact GroupNorm stats and training remat.
+    use_pallas = cfg.use_pallas or cfg.block1d_impl == "pallas"
     attn_impl = cfg.attention_impl
 
     n_levels = len(params["down_blocks"])
