@@ -32,7 +32,7 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--t-x", type=int, default=256)
     p.add_argument("--t-y", type=int, default=768)
-    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--steps", type=int, default=30)
     p.add_argument("--fp32", action="store_true",
                    help="disable bf16 mixed precision")
     args = p.parse_args(argv)
@@ -58,14 +58,19 @@ def main(argv=None):
     }
     key = jax.random.PRNGKey(1)
 
-    # compile + one step
+    # compile + one step.  The stop condition must be a host FETCH of a
+    # scalar, not block_until_ready: on the tunneled axon backend
+    # block_until_ready returns before execution finishes and
+    # under-reports by >10x (CLAUDE.md timing hazard).  Steps chain
+    # through `state`, so N steps + one final fetch bounds the true
+    # per-step time to within ~28 ms / N of fetch overhead.
     state, metrics = train_step(state, key, batch, cfg, tcfg)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = train_step(state, key, batch, cfg, tcfg)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = (time.perf_counter() - t0) / args.steps
 
     frames = int(np.sum(np.asarray(batch["y_lengths"])))
