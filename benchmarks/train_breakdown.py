@@ -182,14 +182,16 @@ def main(argv=None):
     # --- full train step (fwd+bwd+Adam), state-chained --------------------
     state = create_train_state(params, tcfg)
     state, metrics = train_step(state, jax.random.PRNGKey(1), batch, cfg, tcfg)
-    jax.block_until_ready(metrics["loss"])
+    # fetch, don't block_until_ready: the tunneled backend returns from
+    # block_until_ready before execution finishes (CLAUDE.md hazard)
+    float(metrics["loss"])
     ts = []
     for s in range(3):
         t0 = time.perf_counter()
         for _ in range(CHAIN):
             state, metrics = train_step(state, jax.random.PRNGKey(s), batch,
                                         cfg, tcfg)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
         ts.append((time.perf_counter() - t0) / CHAIN)
     results["train_step_ms"] = float(np.median(ts)) * 1e3
 
