@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHAIN = 8
+CHAIN = 8  # overridden by --chain; large values drown the dispatch floor
 
 
 def _pallas_chain_kernel(x_ref, w_ref, o_ref, *, depth: int, int8: bool):
@@ -83,8 +83,14 @@ def main(argv=None):
     p.add_argument("--rows", type=int, default=4096)
     p.add_argument("--depth", type=int, default=64,
                    help="matmuls per chain iteration")
+    p.add_argument("--chain", type=int, default=1024,
+                   help="chain iterations per timed call; the ~28 ms "
+                        "dispatch floor must be small against "
+                        "chain*depth matmuls of device work")
     args = p.parse_args(argv)
     rows, depth = args.rows, args.depth
+    global CHAIN
+    CHAIN = args.chain
 
     rng = np.random.default_rng(0)
     x8 = jnp.asarray(rng.integers(-127, 128, size=(rows, 128)), jnp.int8)
