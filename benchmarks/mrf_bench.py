@@ -37,7 +37,8 @@ def main(argv=None):
     p.add_argument("--dtype", default="bfloat16",
                    choices=("float32", "bfloat16"))
     p.add_argument("--impl", nargs="+", default=["xla", "packed"],
-                   choices=("xla", "tap", "packed", "xla_up", "packed_up"))
+                   choices=("xla", "tap", "packed", "int8", "xla_up",
+                            "packed_up", "int8_up"))
     p.add_argument("--channels", nargs="+", type=int, default=[32, 64])
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--tile", type=int, default=0,
@@ -79,11 +80,25 @@ def main(argv=None):
             wp, bp = pack_packed_weights(rbs, KERNELS, DILS, dtype=dtype)
 
             def packed_level(x, wp=wp, bp=bp):
-                return mrf_packed(x, wp, bp, KERNELS, DILS, tile=args.tile,
+                return mrf_packed(x, wp, bp, kernel_sizes=KERNELS,
+                                  dilations=DILS, tile=args.tile,
                                   kstack=args.kstack)
 
             impls["packed"] = packed_level
-        if ("xla_up" in args.impl or "packed_up" in args.impl) and c <= 64:
+        if "int8" in args.impl and c <= 128:
+            from matcha_tts_tpu.ops.pallas.mrf_packed import (
+                mrf_packed, pack_packed_weights_int8)
+
+            w8, b8, ws8 = pack_packed_weights_int8(rbs, KERNELS, DILS)
+
+            def int8_level(x, w=(w8, b8, ws8)):
+                return mrf_packed(x, *w, kernel_sizes=KERNELS,
+                                  dilations=DILS, tile=args.tile,
+                                  kstack=args.kstack)
+
+            impls["int8"] = int8_level
+        if ("xla_up" in args.impl or "packed_up" in args.impl
+                or "int8_up" in args.impl) and c <= 64:
             # upsample-inclusive variants: time the full generator level
             # lrelu -> ConvTranspose(k=4,s=2, C 2c->c) -> MRF from the
             # pre-upsample tensor (B, t/2, 2c).  Only the two deepest
@@ -118,7 +133,22 @@ def main(argv=None):
                                          tile=args.tile, kstack=args.kstack)
 
                 impls["packed_up"] = (packed_up_level, xin)
-        elif c > 64 and ("xla_up" in args.impl or "packed_up" in args.impl):
+            if "int8_up" in args.impl:
+                from matcha_tts_tpu.ops.pallas.mrf_packed import (
+                    mrf_packed_up, pack_packed_weights_int8,
+                    pack_upsample_weights)
+
+                wup8, bup8 = pack_upsample_weights(up, dtype=dtype)
+                w8u, b8u, ws8u = pack_packed_weights_int8(rbs, KERNELS, DILS)
+
+                def int8_up_level(x, w=(wup8, bup8, w8u, b8u, ws8u)):
+                    return mrf_packed_up(x, w[0], w[1], w[2], w[3],
+                                         KERNELS, DILS, tile=args.tile,
+                                         kstack=args.kstack, ws=w[4])
+
+                impls["int8_up"] = (int8_up_level, xin)
+        elif c > 64 and ("xla_up" in args.impl or "packed_up" in args.impl
+                         or "int8_up" in args.impl):
             print(f"C={c}: skipping _up impls (no fused-upsample kernel)",
                   file=sys.stderr)
         if "tap" in args.impl:

@@ -34,7 +34,7 @@ def main(argv=None):
     p.add_argument("--denoise", type=float, default=0.00025,
                    help="denoiser strength (reference notebooks use 0.00025)")
     p.add_argument("--mrf", default="xla",
-                   choices=("xla", "tap", "packed", "auto"),
+                   choices=("xla", "tap", "packed", "int8", "auto"),
                    help="MRF implementation (HiFiGANConfig.mrf_kernel)")
     p.add_argument("--dtype", default="float32",
                    choices=("float32", "bfloat16"))

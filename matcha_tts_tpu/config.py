@@ -129,7 +129,11 @@ class HiFiGANConfig:
     use_pallas: bool = False
     # MRF implementation: "xla" (lax.conv emitter), "tap" (tap-unrolled
     # Pallas kernel, ops/pallas/mrf.py), "packed" (time-in-lanes
-    # block-Toeplitz Pallas kernel, ops/pallas/mrf_packed.py), or "auto"
+    # block-Toeplitz Pallas kernel, ops/pallas/mrf_packed.py), "int8"
+    # (packed kernel with int8 MXU dots for the 18-conv chains: per-
+    # output-channel weight scales, dynamic per-(conv, tile) activation
+    # scales — OPT-IN quantized inference, ~1.5x MXU headroom measured
+    # by benchmarks/int8_probe.py; never selected by "auto"), or "auto"
     # (packed where its shape gate passes, XLA otherwise).  use_pallas=True
     # with mrf_kernel="xla" keeps its legacy meaning of "tap".
     # Default "auto": measured on v5e, packed halves the deep-level time
@@ -140,7 +144,7 @@ class HiFiGANConfig:
     mrf_kernel: str = "auto"
 
     def __post_init__(self):
-        valid = ("xla", "tap", "packed", "auto")
+        valid = ("xla", "tap", "packed", "int8", "auto")
         if self.mrf_kernel not in valid:
             raise ValueError(
                 f"mrf_kernel={self.mrf_kernel!r} is not one of {valid}")

@@ -125,12 +125,13 @@ def _mrf_fusable(cfg: HiFiGANConfig, t: int, c: int, dtype) -> str:
         # for the bf16 inference dtype; mrf_kernel="packed" still forces
         # the fp32 kernels for parity work.
         return "xla"
-    if mode in ("packed", "auto"):
+    if mode in ("packed", "int8", "auto"):
         from matcha_tts_tpu.ops.pallas.mrf_packed import mrf_packed_ok
 
-        if mrf_packed_ok(t, c, dtype == jnp.float32):
-            return "packed"
-        if mode == "packed":
+        # the int8 chain uses the bf16 VMEM budget (int8 acts are smaller)
+        if mrf_packed_ok(t, c, mode != "int8" and dtype == jnp.float32):
+            return "int8" if mode == "int8" else "packed"
+        if mode in ("packed", "int8"):
             return "xla"
     if mode in ("tap", "auto"):
         from matcha_tts_tpu.ops.pallas.mrf import mrf_pallas_ok
@@ -182,22 +183,33 @@ def generator(params, mel: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
         out_ch = cfg.upsample_initial_channel // (2 ** (i + 1))
         t_out = x.shape[1] * u
         impl = _mrf_fusable(cfg, t_out, out_ch, x.dtype)
-        if (impl == "packed" and u == 2 and k == 4
+        if (impl in ("packed", "int8") and u == 2 and k == 4
                 and out_ch * 2 == x.shape[2]):
             # Deepest two V1 levels: fuse LeakyReLU -> ConvTranspose -> MRF
             # into one kernel (hifigan/models.py:181-192), skipping the
             # wav-rate HBM round trip of the upsampled tensor.
             from matcha_tts_tpu.ops.pallas.mrf_packed import (
                 mrf_packed_up, mrf_packed_up_ok, pack_packed_weights,
-                pack_upsample_weights)
+                pack_packed_weights_int8, pack_upsample_weights)
 
-            if mrf_packed_up_ok(t_out, out_ch, x.dtype == jnp.float32):
+            if mrf_packed_up_ok(t_out, out_ch,
+                                impl != "int8" and x.dtype == jnp.float32):
                 dils = tuple(tuple(d) for d in cfg.resblock_dilation_sizes)
                 wup, bup = pack_upsample_weights(params["ups"][i],
                                                  dtype=x.dtype)
-                w, b = pack_packed_weights(
-                    level_blocks, tuple(cfg.resblock_kernel_sizes), dils,
-                    dtype=x.dtype)
+                # measured per level at batch 32 (mrf_bench, v5e bf16):
+                # int8 wins the C=64 fused level (43.5 -> 36.5 ms) but not
+                # the C=32 one (37.6 -> 38.5) — its inflated block-Toeplitz
+                # dots are VPU/quantize-bound, not MXU-bound.  int8 mode
+                # keeps the exact bf16 kernel there: faster AND lossless.
+                if impl == "int8" and out_ch >= 64:
+                    w, b, ws = pack_packed_weights_int8(
+                        level_blocks, tuple(cfg.resblock_kernel_sizes), dils)
+                else:
+                    w, b = pack_packed_weights(
+                        level_blocks, tuple(cfg.resblock_kernel_sizes), dils,
+                        dtype=x.dtype)
+                    ws = None
                 kpost = params["conv_post"]["weight"].shape[0]
                 if (i == len(cfg.upsample_rates) - 1 and kpost == 7
                         and params["conv_post"]["weight"].shape[2] == 1):
@@ -214,25 +226,30 @@ def generator(params, mel: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
                         x, wup, bup, w, b,
                         kernel_sizes=tuple(cfg.resblock_kernel_sizes),
                         dilations=dils, wpost=wpost, bpost=bpost,
-                        post_k=kpost)
+                        post_k=kpost, ws=ws)
                     bsz = wavp.shape[0]
                     return wavp.reshape(bsz, -1, out_ch)[..., 0]
                 x = mrf_packed_up(x, wup, bup, w, b,
                                   kernel_sizes=tuple(cfg.resblock_kernel_sizes),
-                                  dilations=dils)
+                                  dilations=dils, ws=ws)
                 continue
         x = _lrelu(x)
         x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
         impl = _mrf_fusable(cfg, x.shape[1], x.shape[2], x.dtype)
-        if impl == "packed":
+        if impl in ("packed", "int8"):
             from matcha_tts_tpu.ops.pallas.mrf_packed import (
-                mrf_packed, pack_packed_weights)
+                mrf_packed, pack_packed_weights, pack_packed_weights_int8)
 
             dils = tuple(tuple(d) for d in cfg.resblock_dilation_sizes)
-            w, b = pack_packed_weights(level_blocks,
-                                       tuple(cfg.resblock_kernel_sizes),
-                                       dils, dtype=x.dtype)
-            x = mrf_packed(x, w, b,
+            if impl == "int8":
+                w, b, ws = pack_packed_weights_int8(
+                    level_blocks, tuple(cfg.resblock_kernel_sizes), dils)
+            else:
+                w, b = pack_packed_weights(level_blocks,
+                                           tuple(cfg.resblock_kernel_sizes),
+                                           dils, dtype=x.dtype)
+                ws = None
+            x = mrf_packed(x, w, b, ws,
                            kernel_sizes=tuple(cfg.resblock_kernel_sizes),
                            dilations=dils)
         elif impl == "tap":

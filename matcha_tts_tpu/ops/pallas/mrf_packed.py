@@ -133,6 +133,46 @@ def pack_packed_weights(resblocks: Sequence[dict],
             jnp.stack(biases).astype(dtype))
 
 
+def pack_packed_weights_int8(resblocks: Sequence[dict],
+                             kernel_sizes: Tuple[int, ...] = _KERNELS,
+                             dilations: Tuple[Tuple[int, ...], ...] = _DILATIONS):
+    """int8 variant of `pack_packed_weights` for the quantized MRF chain.
+
+    Per conv, per OUTPUT channel: s_w[co] = max|w[:, :, co]| / 127 and
+    w_q = round(w / s_w) in [-127, 127]; the block-Toeplitz packing then
+    runs on the integer-valued floats (exact) and casts to int8.  Output
+    lane l of the packed layout holds (frame r = l // C, channel co =
+    l % C), so the per-lane dequant scale row is s_w tiled r_pack times —
+    the same repetition the bias rows already use.
+
+    Returns (w_i8 (N*128, 128) int8, b (n_convs, 128) f32,
+             ws (n_convs, 128) f32 per-output-lane weight scales).
+    """
+    c = jnp.shape(resblocks[0]["convs1"][0]["weight"])[1]
+    r_pack = LANES // c
+    mats, biases, scales = [], [], []
+    for rb, k, dils in zip(resblocks, kernel_sizes, dilations):
+        for m, d in enumerate(dils):
+            for which, dd in (("convs1", d), ("convs2", 1)):
+                w = jnp.asarray(rb[which][m]["weight"], jnp.float32)
+                bias = jnp.asarray(rb[which][m]["bias"], jnp.float32)
+                s_w = jnp.max(jnp.abs(w), axis=(0, 1)) / 127.0  # (C_out,)
+                s_w = jnp.where(s_w > 0, s_w, 1.0)
+                wq = jnp.clip(jnp.round(w / s_w), -127, 127)
+                dm = _delta_map(k, dd, r_pack)
+                p = np.zeros((len(dm), r_pack, r_pack, k), np.float32)
+                for qi, (q, places) in enumerate(dm.items()):
+                    for tap, r2, r in places:
+                        p[qi, r2, r, tap] = 1.0
+                big = jnp.einsum("qsrt,tio->qsiro", jnp.asarray(p), wq)
+                mats.append(big.reshape(len(dm), LANES, LANES))
+                biases.append(jnp.tile(bias, r_pack))
+                scales.append(jnp.tile(s_w, r_pack))
+    return (jnp.concatenate(mats, axis=0).reshape(-1, LANES).astype(jnp.int8),
+            jnp.stack(biases).astype(jnp.float32),
+            jnp.stack(scales).astype(jnp.float32))
+
+
 def upsample_meta(u: int, k: int, padding: int, r_in: int):
     """Super-row shifts q for a stride-u ConvTranspose under packing with
     R_in input frames per row and R_out = u*R_in output frames per row.
@@ -229,10 +269,12 @@ def _shift(x: jnp.ndarray, off: int) -> jnp.ndarray:
 def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
                        *refs, specs, halo: int, slope: float, fp32: bool,
                        kstack: int, up_qs: tuple = (), hup: int = 0,
-                       post_qs: tuple = ()):
+                       post_qs: tuple = (), quant: bool = False):
     up_nq = len(up_qs)
     refs = list(refs)
-    wpost_ref = bpost_ref = o2_ref = None
+    wpost_ref = bpost_ref = o2_ref = ws_ref = None
+    if quant:
+        ws_ref = refs.pop(0)  # (n_convs, 128) per-output-lane weight scales
     if up_nq:
         wup_ref, bup_ref = refs[:2]
         del refs[:2]
@@ -270,14 +312,35 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
     right_ok = jnp.logical_or(i < n - 1, rows < halo + tile)
     valid = jnp.logical_and(left_ok, right_ok).astype(jnp.float32)
 
-    def conv_into_xt(spec, bias_idx):
+    def quantize_act(src):
+        """fp32 (ext, LANES) -> (int8 stored in act_ref, fp32 scalar scale).
+
+        One dynamic absmax scale per (conv, tile): per-row/per-lane scales
+        cannot factor out of the block-Toeplitz super-row sum (each output
+        row mixes several shifted input rows), so a scalar is the finest
+        granularity that dequantizes exactly with one multiply."""
+        m = jnp.max(jnp.abs(src))
+        inv = jnp.where(m > 0, 127.0 / m, 0.0)
+        act_ref[...] = jnp.clip(jnp.round(src * inv), -127.0, 127.0
+                                ).astype(jnp.int8)
+        return jnp.where(m > 0, m / 127.0, 1.0)
+
+    def conv_into_xt(spec, bias_idx, s_act=None):
         # SSA accumulation (one store per conv): Mosaic keeps the running
         # sum live instead of read-modify-writing xt_ref per delta.
         # K-stacking: lane-concat up to `kstack` shifted acts and row-slice
         # the matching contiguous weight run -> one deep-K MXU dot per
         # group instead of one K=128 pass per delta.
-        acc = jnp.broadcast_to(b_ref[bias_idx].astype(jnp.float32),
-                               (ext, LANES))
+        # quant mode: int8 x int8 -> int32 MXU dots (no overflow: <= 1408
+        # products of <= 127^2 per output), dequantized once at the end by
+        # s_act * per-lane weight scale.
+        if quant:
+            acc = jnp.zeros((ext, LANES), jnp.int32)
+            acc_ty = jnp.int32
+        else:
+            acc = jnp.broadcast_to(b_ref[bias_idx].astype(jnp.float32),
+                                   (ext, LANES))
+            acc_ty = jnp.float32
         for g0 in range(0, len(spec), kstack):
             grp = spec[g0:g0 + kstack]
             if len(grp) == 1:
@@ -287,9 +350,15 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
                     [_shift(act_ref[...], q) for q, _ in grp], axis=1)
             m0 = grp[0][1]
             rhs = w_ref[m0 * LANES:(m0 + len(grp)) * LANES]
-            acc = acc + jnp.dot(lhs, rhs, precision=prec,
-                                preferred_element_type=jnp.float32)
-        xt_ref[...] = acc
+            acc = acc + jnp.dot(lhs, rhs,
+                                precision=None if quant else prec,
+                                preferred_element_type=acc_ty)
+        if quant:
+            xt_ref[...] = (acc.astype(jnp.float32)
+                           * (ws_ref[bias_idx].astype(jnp.float32) * s_act)
+                           + b_ref[bias_idx].astype(jnp.float32))
+        else:
+            xt_ref[...] = acc
 
     if up_nq:
         # Fused-upsample prologue: the refs hold the C_in-packed PRE-lrelu
@@ -330,12 +399,18 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
                 [prev_tail, x_cur_ref[0].astype(jnp.float32), next_head],
                 axis=0)
         for spec1, spec2 in branch:
-            act_ref[...] = (jax.nn.leaky_relu(xb_ref[...], slope)
-                            * valid).astype(act_ref.dtype)
-            conv_into_xt(spec1, conv_ord)
-            act_ref[...] = (jax.nn.leaky_relu(xt_ref[...], slope)
-                            * valid).astype(act_ref.dtype)
-            conv_into_xt(spec2, conv_ord + 1)
+            a1 = jax.nn.leaky_relu(xb_ref[...], slope) * valid
+            if quant:
+                conv_into_xt(spec1, conv_ord, quantize_act(a1))
+            else:
+                act_ref[...] = a1.astype(act_ref.dtype)
+                conv_into_xt(spec1, conv_ord)
+            a2 = jax.nn.leaky_relu(xt_ref[...], slope) * valid
+            if quant:
+                conv_into_xt(spec2, conv_ord + 1, quantize_act(a2))
+            else:
+                act_ref[...] = a2.astype(act_ref.dtype)
+                conv_into_xt(spec2, conv_ord + 1)
             xb_ref[...] += xt_ref[...]
             conv_ord += 2
         acc_ref[...] += xb_ref[halo - pad:halo + tile + pad]
@@ -350,7 +425,7 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
         lp = jnp.logical_or(i > 0, rows_p >= pad)
         rp = jnp.logical_or(i < n - 1, rows_p < pad + tile)
         apost = (apost * jnp.logical_and(lp, rp).astype(jnp.float32)
-                 ).astype(act_ref.dtype)
+                 ).astype(wpost_ref.dtype)  # act_ref is int8 in quant mode
         pacc = jnp.broadcast_to(bpost_ref[...].astype(jnp.float32),
                                 (tile, LANES))
         for qi, q in enumerate(post_qs):
@@ -390,6 +465,7 @@ def mrf_packed_ok(t: int, c: int, fp32: bool = False) -> bool:
                    static_argnames=("kernel_sizes", "dilations", "slope",
                                     "tile", "kstack", "interpret"))
 def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+               ws: jnp.ndarray | None = None,
                kernel_sizes: Tuple[int, ...] = _KERNELS,
                dilations: Tuple[Tuple[int, ...], ...] = _DILATIONS,
                slope: float = 0.1, tile: int = 0, kstack: int = 16,
@@ -398,11 +474,20 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 
     w, b from pack_packed_weights (same dtype as x for bf16; fp32 inputs
     run HIGHEST-precision dots for parity with the XLA conv path).
+
+    With `ws` (from pack_packed_weights_int8: int8 w, fp32 b, fp32
+    per-lane scales) the 18-conv chain runs int8 MXU dots with a dynamic
+    per-(conv, tile) activation scale — the opt-in quantized mode
+    (hifigan mrf_kernel="int8"; 1.5x MXU headroom, benchmarks/int8_probe).
+    Residuals and the chain state stay fp32; only conv inputs quantize.
     """
     bsz, t, c = x.shape
     r_pack = LANES // c
     tp = t // r_pack
-    fp32 = x.dtype == jnp.float32
+    quant = ws is not None
+    fp32 = x.dtype == jnp.float32 and not quant
+    if quant:
+        assert w.dtype == jnp.int8, w.dtype
     if fp32:
         # the fp32 path exists for parity/precision (denoiser bias spec,
         # tests), not speed; kstack=16 concat temporaries at fp32 blow the
@@ -417,7 +502,8 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 
     xp = x.reshape(bsz, tp, LANES)
     kernel = functools.partial(_mrf_packed_kernel, specs=specs, halo=halo,
-                               slope=slope, fp32=fp32, kstack=kstack)
+                               slope=slope, fp32=fp32, kstack=kstack,
+                               quant=quant)
 
     def idx_prev(bi, ti):
         return (bi, jnp.maximum(ti - 1, 0), 0)
@@ -428,19 +514,24 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     def idx_next(bi, ti):
         return (bi, jnp.minimum(ti + 1, n_tiles - 1), 0)
 
-    act_dtype = jnp.float32 if fp32 else jnp.bfloat16
+    act_dtype = (jnp.int8 if quant
+                 else jnp.float32 if fp32 else jnp.bfloat16)
+    full = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, tile, LANES), idx_prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, LANES), idx_cur, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, LANES), idx_next, memory_space=pltpu.VMEM),
+        full(w.shape, lambda bi, ti: (0, 0)),
+        full(b.shape, lambda bi, ti: (0, 0)),
+    ]
+    operands = [xp, xp, xp, w, b]
+    if quant:
+        in_specs.append(full(ws.shape, lambda bi, ti: (0, 0)))
+        operands.append(ws)
     out = pl.pallas_call(
         kernel,
         grid=(bsz, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, tile, LANES), idx_prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, LANES), idx_cur, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, LANES), idx_next, memory_space=pltpu.VMEM),
-            pl.BlockSpec(w.shape, lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(b.shape, lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile, LANES), idx_cur,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, tp, LANES), x.dtype),
@@ -454,7 +545,7 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         # Mosaic lowering (used by the TPU cross-lowering regression tests).
         interpret=(jax.default_backend() == "cpu" if interpret is None
                    else interpret),
-    )(xp, xp, xp, w, b)
+    )(*operands)
     return out.reshape(bsz, t, c)
 
 
@@ -481,7 +572,7 @@ def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
                   slope: float = 0.1, stride: int = 2, up_k: int = 4,
                   up_padding: int = 1, tile: int = 0, kstack: int = 16,
                   wpost: jnp.ndarray = None, bpost: jnp.ndarray = None,
-                  post_k: int = 7,
+                  post_k: int = 7, ws: jnp.ndarray | None = None,
                   interpret: bool | None = None):
     """Fused generator level: x (B, T_in, C_in) -> (B, T_in*stride, C_in//2).
 
@@ -506,7 +597,12 @@ def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
     r_in = LANES // c_in
     r_out = stride * r_in
     tp = t_in // r_in
-    fp32 = x.dtype == jnp.float32
+    quant = ws is not None
+    fp32 = x.dtype == jnp.float32 and not quant
+    if quant:
+        # int8 applies to the MRF chain only; the upsample prologue and
+        # conv_post tail (3 dots each) keep the input dtype.
+        assert w.dtype == jnp.int8, w.dtype
     if fp32:
         kstack = min(kstack, 8)  # see mrf_packed
     if tile == 0:
@@ -536,7 +632,8 @@ def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
     xp = x.reshape(bsz, tp, LANES)
     kernel = functools.partial(_mrf_packed_kernel, specs=specs, halo=halo,
                                slope=slope, fp32=fp32, kstack=kstack,
-                               up_qs=up_qs, hup=hup, post_qs=post_qs)
+                               up_qs=up_qs, hup=hup, post_qs=post_qs,
+                               quant=quant)
 
     def idx_prev(bi, ti):
         return (bi, jnp.maximum(ti - 1, 0), 0)
@@ -547,7 +644,9 @@ def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
     def idx_next(bi, ti):
         return (bi, jnp.minimum(ti + 1, n_tiles - 1), 0)
 
-    act_dtype = jnp.float32 if fp32 else jnp.bfloat16
+    chain_act_dtype = (jnp.int8 if quant
+                       else jnp.float32 if fp32 else jnp.bfloat16)
+    up_act_dtype = jnp.float32 if fp32 else jnp.bfloat16
     ext = tile + 2 * halo
     full = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     in_specs = [
@@ -556,10 +655,14 @@ def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
         pl.BlockSpec((1, tile, LANES), idx_next, memory_space=pltpu.VMEM),
         full(w.shape, lambda bi, ti: (0, 0)),
         full(b.shape, lambda bi, ti: (0, 0)),
-        full(wup.shape, lambda bi, ti: (0, 0)),
-        full(bup.shape, lambda bi, ti: (0, 0)),
     ]
-    operands = [xp, xp, xp, w, b, wup, bup]
+    operands = [xp, xp, xp, w, b]
+    if quant:
+        in_specs.append(full(ws.shape, lambda bi, ti: (0, 0)))
+        operands.append(ws)
+    in_specs += [full(wup.shape, lambda bi, ti: (0, 0)),
+                 full(bup.shape, lambda bi, ti: (0, 0))]
+    operands += [wup, bup]
     out_spec = pl.BlockSpec((1, tile, LANES), idx_cur,
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((bsz, tp, LANES), x.dtype)
@@ -579,11 +682,11 @@ def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((ext, LANES), jnp.float32),               # xb
-            pltpu.VMEM((ext, LANES), act_dtype),                 # act
+            pltpu.VMEM((ext, LANES), chain_act_dtype),           # act
             pltpu.VMEM((ext, LANES), jnp.float32),               # xt
             pltpu.VMEM((tile + 2 * pad, LANES), jnp.float32),    # acc
             pltpu.VMEM((ext, LANES), jnp.float32),               # xup
-            pltpu.VMEM((ext + 2 * hup, LANES), act_dtype),       # actin
+            pltpu.VMEM((ext + 2 * hup, LANES), up_act_dtype),    # actin
         ],
         interpret=(jax.default_backend() == "cpu" if interpret is None
                    else interpret),

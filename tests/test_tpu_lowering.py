@@ -88,6 +88,46 @@ def test_mrf_packed_lowers_for_tpu(dtype):
     _assert_mosaic(txt, 1)
 
 
+def test_mrf_packed_int8_lowers_for_tpu():
+    from matcha_tts_tpu.ops.pallas.mrf_packed import (
+        mrf_packed,
+        pack_packed_weights_int8,
+    )
+
+    c = 32
+    rbs = [hifigan.init_resblock1(jax.random.PRNGKey(i), c, k, (1, 3, 5))
+           for i, k in enumerate((3, 7, 11))]
+    w, b, ws = pack_packed_weights_int8(rbs)
+    x = jax.ShapeDtypeStruct((1, 512, c), jnp.bfloat16)
+    txt = lower_tpu(
+        lambda xx: mrf_packed(xx, w, b, ws, tile=64, interpret=False), x)
+    _assert_mosaic(txt, 1)
+
+
+def test_mrf_packed_up_int8_lowers_for_tpu():
+    from matcha_tts_tpu.ops.pallas.mrf_packed import (
+        mrf_packed_up,
+        pack_convpost_weights,
+        pack_packed_weights_int8,
+        pack_upsample_weights,
+    )
+
+    c_in, c_out = 64, 32
+    up = mnn.init_conv_transpose1d(jax.random.PRNGKey(9), c_in, c_out, 4)
+    rbs = [hifigan.init_resblock1(jax.random.PRNGKey(i), c_out, k, (1, 3, 5))
+           for i, k in enumerate((3, 7, 11))]
+    post = {"weight": jax.random.normal(jax.random.PRNGKey(3), (7, c_out, 1)),
+            "bias": jnp.zeros((1,))}
+    wup, bup = pack_upsample_weights(up, dtype=jnp.bfloat16)
+    w, b, ws = pack_packed_weights_int8(rbs)
+    wpost, bpost, _ = pack_convpost_weights(post, c_out, dtype=jnp.bfloat16)
+    x = jax.ShapeDtypeStruct((1, 512, c_in), jnp.bfloat16)
+    txt = lower_tpu(
+        lambda xx: mrf_packed_up(xx, wup, bup, w, b, ws=ws, wpost=wpost,
+                                 bpost=bpost, tile=128, interpret=False), x)
+    _assert_mosaic(txt, 1)
+
+
 def test_mrf_packed_up_lowers_for_tpu():
     from matcha_tts_tpu.ops.pallas.mrf_packed import (
         mrf_packed_up,
