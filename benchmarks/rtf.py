@@ -62,6 +62,9 @@ def main(argv=None):
                    help="compute dtype (bfloat16 is the idiomatic TPU "
                         "inference dtype; fp32 at large batch can exceed "
                         "HBM on the XLA vocoder path)")
+    p.add_argument("--mrf", default=None,
+                   choices=("xla", "tap", "packed", "int8", "auto"),
+                   help="override HiFiGANConfig.mrf_kernel")
     args = p.parse_args(argv)
 
     from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
@@ -71,7 +74,8 @@ def main(argv=None):
     from matcha_tts_tpu.models.text_encoder import text_encoder
 
     cfg = MatchaConfig()
-    hcfg = HiFiGANConfig()
+    hcfg = (HiFiGANConfig() if args.mrf is None
+            else HiFiGANConfig(mrf_kernel=args.mrf))
     params = init_matcha(jax.random.PRNGKey(0), cfg)
     voc = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
 
