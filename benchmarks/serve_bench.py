@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--batch-window-ms", type=float, default=15.0)
     ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--mrf", default=None,
+                    choices=("xla", "tap", "packed", "int8", "auto"),
+                    help="override HiFiGANConfig.mrf_kernel (int8 = the "
+                         "opt-in quantized serving mode)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--soak-seconds", type=float, default=0.0,
                     help="after the burst rounds, run a sustained-load soak "
@@ -73,7 +77,8 @@ def main():
     from matcha_tts_tpu.models.matcha import init_matcha
 
     cfg = MatchaConfig()
-    hcfg = HiFiGANConfig()
+    hcfg = (HiFiGANConfig() if args.mrf is None
+            else HiFiGANConfig(mrf_kernel=args.mrf))
     synth = Synthesizer(init_matcha(jax.random.PRNGKey(0), cfg), cfg,
                         hifigan.init_generator(jax.random.PRNGKey(1), hcfg),
                         hcfg, compute_dtype=args.compute_dtype,
