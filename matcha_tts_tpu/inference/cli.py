@@ -82,6 +82,11 @@ def main(argv=None):
                         help="speaker id (multi-speaker checkpoints)")
     parser.add_argument("--long-form", action="store_true",
                         help="split on sentences/'|' and synthesize chunked")
+    parser.add_argument("--mrf-kernel", default=None,
+                        choices=("xla", "tap", "packed", "int8", "auto"),
+                        help="vocoder MRF implementation override "
+                             "(HiFiGANConfig.mrf_kernel; 'int8' is the "
+                             "opt-in quantized max-throughput mode)")
     args = parser.parse_args(argv)
 
     from matcha_tts_tpu.inference.synthesizer import Synthesizer
@@ -91,6 +96,10 @@ def main(argv=None):
 
     matcha_params, cfg, vocoder_params, hcfg = load_models(
         args.checkpoint, args.vocoder)
+    if args.mrf_kernel is not None:
+        import dataclasses
+
+        hcfg = dataclasses.replace(hcfg, mrf_kernel=args.mrf_kernel)
 
     syn = Synthesizer(matcha_params, cfg, vocoder_params, hcfg)
 
