@@ -43,6 +43,12 @@ def _pallas_chain_kernel(x_ref, w_ref, o_ref, *, depth: int, int8: bool):
         if int8:
             d = jax.lax.dot_general(y, w, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
+            # NB: (d >> 8) still exceeds int8 range, so the cast WRAPS —
+            # the chained values are modular garbage.  That is fine for
+            # this probe: it times one shift + one cast per matmul, the
+            # same op count as a real rescale, and MXU time is
+            # data-independent.  The production kernel (mrf_packed quant
+            # mode) does a true scale-based requantization instead.
             y = (d >> 8).astype(jnp.int8)
         else:
             d = jax.lax.dot_general(y, w, (((1,), (0,)), ((), ())),
@@ -53,7 +59,6 @@ def _pallas_chain_kernel(x_ref, w_ref, o_ref, *, depth: int, int8: bool):
 
 def pallas_chain(x, w, depth: int):
     int8 = x.dtype == jnp.int8
-    rows = x.shape[0]
     return pl.pallas_call(
         lambda x_ref, w_ref, o_ref: _pallas_chain_kernel(
             x_ref, w_ref, o_ref, depth=depth, int8=int8),
@@ -105,7 +110,9 @@ def main(argv=None):
                 d = jax.lax.dot_general(
                     y, w8[j], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
-                # renormalize to int8 range (cheap shift) to keep chaining
+                # shift + cast keeps the chain int8-typed; values wrap
+                # (see the Pallas kernel note) — timing-equivalent to a
+                # real requant, which is all this probe measures
                 return (d >> 8).astype(jnp.int8)
             y = jax.lax.fori_loop(0, depth, inner, x8 + (acc * 0).astype(jnp.int8))
             return acc + jnp.sum(y.astype(jnp.int32))

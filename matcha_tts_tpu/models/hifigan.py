@@ -202,7 +202,11 @@ def generator(params, mel: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
                 # the C=32 one (37.6 -> 38.5) — its inflated block-Toeplitz
                 # dots are VPU/quantize-bound, not MXU-bound.  int8 mode
                 # keeps the exact bf16 kernel there: faster AND lossless.
-                if impl == "int8" and out_ch >= 64:
+                # (bf16 inputs only: at fp32 the exact fallback would be
+                # the ~3.4x-slower HIGHEST-precision parity kernel, so
+                # fp32 int8 configs quantize this level too.)
+                if impl == "int8" and (out_ch >= 64
+                                       or x.dtype != jnp.bfloat16):
                     w, b, ws = pack_packed_weights_int8(
                         level_blocks, tuple(cfg.resblock_kernel_sizes), dils)
                 else:

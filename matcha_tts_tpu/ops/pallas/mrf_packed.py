@@ -139,38 +139,36 @@ def pack_packed_weights_int8(resblocks: Sequence[dict],
     """int8 variant of `pack_packed_weights` for the quantized MRF chain.
 
     Per conv, per OUTPUT channel: s_w[co] = max|w[:, :, co]| / 127 and
-    w_q = round(w / s_w) in [-127, 127]; the block-Toeplitz packing then
-    runs on the integer-valued floats (exact) and casts to int8.  Output
-    lane l of the packed layout holds (frame r = l // C, channel co =
-    l % C), so the per-lane dequant scale row is s_w tiled r_pack times —
-    the same repetition the bias rows already use.
+    w_q = round(w / s_w) in [-127, 127]; the existing block-Toeplitz
+    packer then runs on the integer-valued floats (exact) and the result
+    casts to int8.  Output lane l of the packed layout holds (frame
+    r = l // C, channel co = l % C), so the per-lane dequant scale row
+    is s_w tiled r_pack times — the same repetition the bias rows use.
 
     Returns (w_i8 (N*128, 128) int8, b (n_convs, 128) f32,
              ws (n_convs, 128) f32 per-output-lane weight scales).
     """
     c = jnp.shape(resblocks[0]["convs1"][0]["weight"])[1]
     r_pack = LANES // c
-    mats, biases, scales = [], [], []
-    for rb, k, dils in zip(resblocks, kernel_sizes, dilations):
-        for m, d in enumerate(dils):
-            for which, dd in (("convs1", d), ("convs2", 1)):
+    # quantize each conv's weights in place (iteration order matches the
+    # packer's conv order exactly: branch -> sub-block -> convs1, convs2)
+    q_blocks, scales = [], []
+    for rb, dils in zip(resblocks, dilations):
+        q_rb = {"convs1": [], "convs2": []}
+        for m in range(len(dils)):
+            for which in ("convs1", "convs2"):
                 w = jnp.asarray(rb[which][m]["weight"], jnp.float32)
-                bias = jnp.asarray(rb[which][m]["bias"], jnp.float32)
                 s_w = jnp.max(jnp.abs(w), axis=(0, 1)) / 127.0  # (C_out,)
                 s_w = jnp.where(s_w > 0, s_w, 1.0)
-                wq = jnp.clip(jnp.round(w / s_w), -127, 127)
-                dm = _delta_map(k, dd, r_pack)
-                p = np.zeros((len(dm), r_pack, r_pack, k), np.float32)
-                for qi, (q, places) in enumerate(dm.items()):
-                    for tap, r2, r in places:
-                        p[qi, r2, r, tap] = 1.0
-                big = jnp.einsum("qsrt,tio->qsiro", jnp.asarray(p), wq)
-                mats.append(big.reshape(len(dm), LANES, LANES))
-                biases.append(jnp.tile(bias, r_pack))
+                q_rb[which].append({
+                    "weight": jnp.clip(jnp.round(w / s_w), -127, 127),
+                    "bias": rb[which][m]["bias"],
+                })
                 scales.append(jnp.tile(s_w, r_pack))
-    return (jnp.concatenate(mats, axis=0).reshape(-1, LANES).astype(jnp.int8),
-            jnp.stack(biases).astype(jnp.float32),
-            jnp.stack(scales).astype(jnp.float32))
+        q_blocks.append(q_rb)
+    w, b = pack_packed_weights(q_blocks, kernel_sizes, dilations,
+                               dtype=jnp.float32)
+    return (w.astype(jnp.int8), b, jnp.stack(scales).astype(jnp.float32))
 
 
 def upsample_meta(u: int, k: int, padding: int, r_in: int):
