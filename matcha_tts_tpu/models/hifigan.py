@@ -21,6 +21,7 @@ from typing import List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from matcha_tts_tpu.config import HiFiGANConfig
 from matcha_tts_tpu.models import nn
@@ -276,6 +277,45 @@ def generator(params, mel: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
     x = _lrelu(x, 0.01)  # final LReLU uses torch's default slope (models.py:193)
     x = nn.conv1d(params["conv_post"], x, padding=3)
     return jnp.tanh(x)[..., 0]
+
+
+def quantization_report(params, mels: jnp.ndarray, cfg: HiFiGANConfig,
+                        exact_kernel: str = "auto") -> dict:
+    """Quality report for the opt-in int8 vocoder mode on THIS checkpoint.
+
+    Runs the given mel batch (B, T, num_mels) through both the exact
+    generator and the int8-quantized one and returns comparable metrics —
+    run this before enabling `mrf_kernel="int8"` in production:
+
+      {"snr_db":            wav-domain SNR of int8 vs exact,
+       "max_abs_err":       worst-case sample error,
+       "mel_l1":            L1 between log-mels of the two wavs (the
+                            quantity HiFi-GAN's own training loss uses),
+       "exact_kernel", "quantized_kernel": the configs compared}
+
+    Rule of thumb: snr_db > 30 and mel_l1 < 0.02 are inaudible for
+    typical checkpoints; quantization error is weight-dependent, so the
+    report must be re-run per checkpoint.
+    """
+    import dataclasses
+
+    from matcha_tts_tpu.ops.stft import log_mel_spectrogram
+
+    exact_cfg = dataclasses.replace(cfg, mrf_kernel=exact_kernel)
+    int8_cfg = dataclasses.replace(cfg, mrf_kernel="int8")
+    ref = np.asarray(generator(params, mels, exact_cfg), np.float64)
+    got = np.asarray(generator(params, mels, int8_cfg), np.float64)
+    err = got - ref
+    snr = 10.0 * np.log10(np.mean(ref ** 2) / max(np.mean(err ** 2), 1e-30))
+    mel_ref = np.asarray(log_mel_spectrogram(jnp.asarray(ref, jnp.float32)))
+    mel_got = np.asarray(log_mel_spectrogram(jnp.asarray(got, jnp.float32)))
+    return {
+        "snr_db": float(snr),
+        "max_abs_err": float(np.max(np.abs(err))),
+        "mel_l1": float(np.mean(np.abs(mel_got - mel_ref))),
+        "exact_kernel": exact_kernel,
+        "quantized_kernel": "int8",
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -157,3 +157,16 @@ def test_int8_generator_dispatch_and_quality():
                                 8192, 32, jnp.bfloat16) != "int8"
     assert hifigan._mrf_fusable(dataclasses.replace(cfg, mrf_kernel="int8"),
                                 8192, 32, jnp.bfloat16) == "int8"
+
+
+def test_quantization_report():
+    """The per-checkpoint int8 quality report returns sane metrics."""
+    cfg = HiFiGANConfig()
+    params = hifigan.init_generator(jax.random.PRNGKey(8), cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(9), (1, 64, cfg.num_mels),
+                            jnp.float32)
+    rep = hifigan.quantization_report(params, mel, cfg, exact_kernel="xla")
+    assert set(rep) == {"snr_db", "max_abs_err", "mel_l1",
+                        "exact_kernel", "quantized_kernel"}
+    assert rep["snr_db"] > 25.0 and rep["max_abs_err"] < 0.1
+    assert rep["mel_l1"] >= 0.0 and np.isfinite(rep["mel_l1"])
