@@ -85,7 +85,7 @@ def main(argv=None):
                                   kstack=args.kstack)
 
             impls["packed"] = packed_level
-        if "int8" in args.impl and c <= 128:
+        if "int8" in args.impl and c <= 256:
             from matcha_tts_tpu.ops.pallas.mrf_packed import (
                 mrf_packed, pack_packed_weights_int8)
 

@@ -129,7 +129,13 @@ def _mrf_fusable(cfg: HiFiGANConfig, t: int, c: int, dtype) -> str:
     if mode in ("packed", "int8", "auto"):
         from matcha_tts_tpu.ops.pallas.mrf_packed import mrf_packed_ok
 
-        # the int8 chain uses the bf16 VMEM budget (int8 acts are smaller)
+        # the int8 chain uses the bf16 VMEM budget (int8 acts are smaller).
+        # The wide C=256 int8 kernel exists (mrf_packed_ok(quant=True))
+        # but measured a TIE vs XLA at batch 32 (20.97 vs 20.16 ms,
+        # mrf_bench 2026-08-18): its 8.25 MB of resident weights force
+        # tile=256 against a 64-row halo — 50% recomputed rows — which
+        # consumes int8's MXU headroom.  C=256 therefore stays on XLA
+        # (already ~98% of bf16 peak there) in every mode.
         if mrf_packed_ok(t, c, mode != "int8" and dtype == jnp.float32):
             return "int8" if mode == "int8" else "packed"
         if mode in ("packed", "int8"):

@@ -60,6 +60,14 @@ _KERNELS = (3, 7, 11)
 _DILATIONS = ((1, 3, 5),) * 3
 
 
+def _rp(c: int) -> int:
+    """Frames packed per VMEM row: 128//C for the lane-packed widths,
+    1 for C >= 128 (C=256 rows span two lane tiles — the 'wide' case,
+    where every tap is already a dense CxC dot and no packing is
+    needed)."""
+    return max(1, LANES // c)
+
+
 def _delta_map(k: int, d: int, r_pack: int):
     """For a k-tap dilation-d conv under R-frame packing: map super-row
     shift q -> list of (tap, r2, r) placements (python ints, static)."""
@@ -111,7 +119,8 @@ def pack_packed_weights(resblocks: Sequence[dict],
     per conv (18 total) — no scatter chains in the graph.
     """
     c = jnp.shape(resblocks[0]["convs1"][0]["weight"])[1]  # tracer-safe
-    r_pack = LANES // c
+    r_pack = _rp(c)
+    width = c * r_pack
     mats, biases = [], []
     for rb, k, dils in zip(resblocks, kernel_sizes, dilations):
         for m, d in enumerate(dils):
@@ -125,11 +134,11 @@ def pack_packed_weights(resblocks: Sequence[dict],
                     for tap, r2, r in places:
                         p[qi, r2, r, tap] = 1.0
                 big = jnp.einsum("qsrt,tio->qsiro", jnp.asarray(p), w)
-                mats.append(big.reshape(len(dm), LANES, LANES))
+                mats.append(big.reshape(len(dm), width, width))
                 biases.append(jnp.tile(bias, r_pack))
-    # 2D layout (N*128, 128): the kernel row-slices contiguous delta runs
-    # for K-stacked dots without an in-kernel reshape.
-    return (jnp.concatenate(mats, axis=0).reshape(-1, LANES).astype(dtype),
+    # 2D layout (N*width, width): the kernel row-slices contiguous delta
+    # runs for K-stacked dots without an in-kernel reshape.
+    return (jnp.concatenate(mats, axis=0).reshape(-1, width).astype(dtype),
             jnp.stack(biases).astype(dtype))
 
 
@@ -149,7 +158,7 @@ def pack_packed_weights_int8(resblocks: Sequence[dict],
              ws (n_convs, 128) f32 per-output-lane weight scales).
     """
     c = jnp.shape(resblocks[0]["convs1"][0]["weight"])[1]
-    r_pack = LANES // c
+    r_pack = _rp(c)
     # quantize each conv's weights in place (iteration order matches the
     # packer's conv order exactly: branch -> sub-block -> convs1, convs2)
     q_blocks, scales = [], []
@@ -290,6 +299,7 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
     i = pl.program_id(1)
     n = pl.num_programs(1)
     tile = x_cur_ref.shape[1]
+    width = x_cur_ref.shape[2]  # 128 lane-packed; 256 for the wide C=256 case
     ext = tile + 2 * halo
     prec = jax.lax.Precision.HIGHEST if fp32 else None
 
@@ -333,11 +343,11 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
         # products of <= 127^2 per output), dequantized once at the end by
         # s_act * per-lane weight scale.
         if quant:
-            acc = jnp.zeros((ext, LANES), jnp.int32)
+            acc = jnp.zeros((ext, width), jnp.int32)
             acc_ty = jnp.int32
         else:
             acc = jnp.broadcast_to(b_ref[bias_idx].astype(jnp.float32),
-                                   (ext, LANES))
+                                   (ext, width))
             acc_ty = jnp.float32
         for g0 in range(0, len(spec), kstack):
             grp = spec[g0:g0 + kstack]
@@ -347,7 +357,7 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
                 lhs = jnp.concatenate(
                     [_shift(act_ref[...], q) for q, _ in grp], axis=1)
             m0 = grp[0][1]
-            rhs = w_ref[m0 * LANES:(m0 + len(grp)) * LANES]
+            rhs = w_ref[m0 * width:(m0 + len(grp)) * width]
             acc = acc + jnp.dot(lhs, rhs,
                                 precision=None if quant else prec,
                                 preferred_element_type=acc_ty)
@@ -439,8 +449,13 @@ def _tile_for_packed(tp: int, fp32: bool, c: int = 32) -> int:
     weights + 4 scratch buffers + pipeline blocks under ~13 MB VMEM."""
     # fp32 doubles both the resident packed weights (up to 9.4 MB at C=64,
     # 8.1 MB at C=128) and the K-stack concat temporary, so its tiles must
-    # shrink to stay inside the 16 MB scoped-VMEM budget.
-    cap = (256 if c == 128 else 512 if c == 64 else 1024) if fp32 else 2048
+    # shrink to stay inside the 16 MB scoped-VMEM budget.  The wide C=256
+    # case is int8-only (126 dense 256x256 mats = 8.25 MB of weights; bf16
+    # would not fit) with double-width scratch rows -> small tiles.
+    if c == 256:
+        cap = 256
+    else:
+        cap = (256 if c == 128 else 512 if c == 64 else 1024) if fp32 else 2048
     t = cap
     while t >= 128:
         if tp % t == 0:
@@ -449,14 +464,21 @@ def _tile_for_packed(tp: int, fp32: bool, c: int = 32) -> int:
     return 0
 
 
-def mrf_packed_ok(t: int, c: int, fp32: bool = False) -> bool:
+def mrf_packed_ok(t: int, c: int, fp32: bool = False,
+                  quant: bool = False) -> bool:
     """Gate: lane-divisible channel widths and a tileable packed length.
 
     C=128 is the degenerate r_pack=1 case (no lane packing, pure fusion of
-    the 18-conv level into one VMEM-resident chain)."""
-    if c not in (32, 64, 128) or t % (LANES // c) != 0:
+    the 18-conv level into one VMEM-resident chain); C=256 is the wide
+    double-lane-tile case, available in the int8 (`quant`) mode only."""
+    if c not in (32, 64, 128, 256) or t % _rp(c) != 0:
         return False
-    return _tile_for_packed(t // (LANES // c), fp32, c) > 0
+    if c == 256 and not quant:
+        # wide-case weights only fit VMEM at int8 (8.25 MB); the bf16/fp32
+        # C=256 level stays on XLA, which already runs it near peak
+        # (docs/RESULTS.md parked-kernel note).
+        return False
+    return _tile_for_packed(t // _rp(c), fp32, c) > 0
 
 
 @functools.partial(jax.jit,
@@ -480,12 +502,14 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     Residuals and the chain state stay fp32; only conv inputs quantize.
     """
     bsz, t, c = x.shape
-    r_pack = LANES // c
+    r_pack = _rp(c)
+    width = c * r_pack
     tp = t // r_pack
     quant = ws is not None
     fp32 = x.dtype == jnp.float32 and not quant
     if quant:
         assert w.dtype == jnp.int8, w.dtype
+    assert c <= 128 or quant, "wide C=256 kernel is int8-only (VMEM)"
     if fp32:
         # the fp32 path exists for parity/precision (denoiser bias spec,
         # tests), not speed; kstack=16 concat temporaries at fp32 blow the
@@ -495,10 +519,10 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         tile = _tile_for_packed(tp, fp32, c)
     n_tiles = tp // tile
     specs, n_mats, halo = packed_meta(kernel_sizes, dilations, r_pack)
-    assert w.shape == (n_mats * LANES, LANES), (w.shape, n_mats)
+    assert w.shape == (n_mats * width, width), (w.shape, n_mats)
     assert halo <= tile, (halo, tile)
 
-    xp = x.reshape(bsz, tp, LANES)
+    xp = x.reshape(bsz, tp, width)
     kernel = functools.partial(_mrf_packed_kernel, specs=specs, halo=halo,
                                slope=slope, fp32=fp32, kstack=kstack,
                                quant=quant)
@@ -516,9 +540,9 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                  else jnp.float32 if fp32 else jnp.bfloat16)
     full = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, tile, LANES), idx_prev, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile, LANES), idx_cur, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile, LANES), idx_next, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, width), idx_prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, width), idx_cur, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, width), idx_next, memory_space=pltpu.VMEM),
         full(w.shape, lambda bi, ti: (0, 0)),
         full(b.shape, lambda bi, ti: (0, 0)),
     ]
@@ -530,14 +554,14 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         kernel,
         grid=(bsz, n_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tile, LANES), idx_cur,
+        out_specs=pl.BlockSpec((1, tile, width), idx_cur,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, tp, LANES), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, tp, width), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * halo, LANES), jnp.float32),   # xb
-            pltpu.VMEM((tile + 2 * halo, LANES), act_dtype),     # act
-            pltpu.VMEM((tile + 2 * halo, LANES), jnp.float32),   # xt
-            pltpu.VMEM((tile, LANES), jnp.float32),              # acc
+            pltpu.VMEM((tile + 2 * halo, width), jnp.float32),   # xb
+            pltpu.VMEM((tile + 2 * halo, width), act_dtype),     # act
+            pltpu.VMEM((tile + 2 * halo, width), jnp.float32),   # xt
+            pltpu.VMEM((tile, width), jnp.float32),              # acc
         ],
         # None = auto: interpret on the CPU backend.  Explicit False forces
         # Mosaic lowering (used by the TPU cross-lowering regression tests).

@@ -92,12 +92,13 @@ def _quantized_oracle(resblocks, x, kernel_sizes, dilations):
     return out / len(resblocks)
 
 
-@pytest.mark.parametrize("c", [32, 64])
+@pytest.mark.parametrize("c", [32, 64, 256])
 def test_int8_kernel_matches_numpy_oracle(c):
     """Single tile -> the dynamic activation scale is global, so the
-    quantized kernel must match the NumPy restatement to fp32 tolerance."""
+    quantized kernel must match the NumPy restatement to fp32 tolerance.
+    c=256 exercises the wide (two-lane-tile, r_pack=1, int8-only) case."""
     ks, dils = (3, 7, 11), ((1, 3, 5),) * 3
-    t = 512 * (128 // c)  # one tile of packed rows
+    t = 512 * (128 // c) if c <= 128 else 256  # one tile of packed rows
     rb = _resblocks(jax.random.PRNGKey(0), c, ks)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, t, c), jnp.float32)
     w, b, ws = pack_packed_weights_int8(rb, ks, dils)
@@ -157,6 +158,22 @@ def test_int8_generator_dispatch_and_quality():
                                 8192, 32, jnp.bfloat16) != "int8"
     assert hifigan._mrf_fusable(dataclasses.replace(cfg, mrf_kernel="int8"),
                                 8192, 32, jnp.bfloat16) == "int8"
+
+
+def test_wide_c256_gate():
+    """The wide C=256 kernel exists only under quant (weights fit VMEM at
+    int8 only), but the GENERATOR keeps XLA at C=256 in every mode — the
+    kernel measured a tie there (halo recompute at the VMEM-forced tile
+    cancels int8's headroom; see _mrf_fusable)."""
+    from matcha_tts_tpu.ops.pallas.mrf_packed import mrf_packed_ok
+
+    assert mrf_packed_ok(6144, 256, quant=True)
+    assert not mrf_packed_ok(6144, 256, quant=False)
+    cfg = HiFiGANConfig()
+    assert hifigan._mrf_fusable(dataclasses.replace(cfg, mrf_kernel="int8"),
+                                6144, 256, jnp.bfloat16) == "xla"
+    assert hifigan._mrf_fusable(dataclasses.replace(cfg, mrf_kernel="packed"),
+                                6144, 256, jnp.bfloat16) == "xla"
 
 
 def test_quantization_report():

@@ -104,6 +104,22 @@ def test_mrf_packed_int8_lowers_for_tpu():
     _assert_mosaic(txt, 1)
 
 
+def test_mrf_wide_c256_int8_lowers_for_tpu():
+    from matcha_tts_tpu.ops.pallas.mrf_packed import (
+        mrf_packed,
+        pack_packed_weights_int8,
+    )
+
+    c = 256
+    rbs = [hifigan.init_resblock1(jax.random.PRNGKey(i), c, k, (1, 3, 5))
+           for i, k in enumerate((3, 7, 11))]
+    w, b, ws = pack_packed_weights_int8(rbs)
+    x = jax.ShapeDtypeStruct((1, 256, c), jnp.bfloat16)
+    txt = lower_tpu(
+        lambda xx: mrf_packed(xx, w, b, ws, tile=128, interpret=False), x)
+    _assert_mosaic(txt, 1)
+
+
 def test_mrf_packed_up_int8_lowers_for_tpu():
     from matcha_tts_tpu.ops.pallas.mrf_packed import (
         mrf_packed_up,
