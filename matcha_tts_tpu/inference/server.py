@@ -357,6 +357,12 @@ def main(argv=None):
     ap.add_argument("--denoise-strength", type=float, default=0.00025)
     ap.add_argument("--warmup", action="store_true",
                     help="precompile batched graphs before serving")
+    ap.add_argument("--warmup-grid", action="store_true",
+                    help="precompile EVERY reachable (batch, text, frame)-"
+                         "bucket graph (Synthesizer.warmup_grid) so steady-"
+                         "state traffic never hits a mid-request compile; "
+                         "expensive cold (use --compile-cache to pay it "
+                         "once per deployment)")
     ap.add_argument("--warmup-only", action="store_true",
                     help="prime the compile cache (implies --warmup) and "
                          "exit without serving — for deploy-time prebaking "
@@ -377,14 +383,18 @@ def main(argv=None):
     synth = Synthesizer(params, cfg, voc_params, hcfg,
                         compute_dtype=args.compute_dtype,
                         denoise_strength=args.denoise_strength)
-    if args.warmup or args.warmup_only:
+    if args.warmup or args.warmup_only or args.warmup_grid:
         print("warming up batched graphs ...")
         # warm every bucket a runtime batch can PAD UP to (<= max_batch
         # requests round up to the next bucket, which must be compiled)
         limit = synth._bucket(args.max_batch, synth.batch_buckets)
-        n = synth.warmup(batch_sizes=[b for b in synth.batch_buckets
-                                      if b <= limit])
-        print(f"warmed {n} batch shapes")
+        sizes = [b for b in synth.batch_buckets if b <= limit]
+        if args.warmup_grid:
+            triples = synth.warmup_grid(batch_sizes=sizes)
+            print(f"warmed {len(triples)} (batch, text, frame) graphs")
+        else:
+            n = synth.warmup(batch_sizes=sizes)
+            print(f"warmed {n} batch shapes")
     if args.warmup_only:
         return
     TTSServer(synth, host=args.host, port=args.port,

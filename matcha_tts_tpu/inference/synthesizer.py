@@ -387,6 +387,66 @@ class Synthesizer:
             self.synthesize_batch(reps, n_timesteps=n_timesteps, **kw)
         return len(batch_sizes)
 
+    def warmup_grid(self, batch_sizes: Optional[Sequence[int]] = None,
+                    n_timesteps: int = 10, temperature: float = 0.667,
+                    length_scale: float = 1.0, spk: Optional[int] = None,
+                    fpt_range=(1.0, 4.0)) -> List[tuple]:
+        """Precompile EVERY reachable batched fused graph, not just the
+        shapes sample texts happen to induce.
+
+        Batched graphs are cached per (batch, text, frame)-bucket triple.
+        `warmup` compiles only the triples its sample texts produce; under
+        open-ended traffic a novel composition then compiles DURING a
+        request — minutes cold on remote transports (the p99=60 s tail in
+        the 2026-08-18 serving soak, docs/RESULTS.md).  This enumerates,
+        for each (batch, text) bucket pair, every batch-frame bucket that a
+        duration of `fpt_range` frames per interspersed token (times
+        `length_scale`) can reach, and compiles those graphs directly.
+
+        The cache key includes the static call parameters, so run this with
+        the SAME (n_timesteps, temperature, length_scale) traffic will use.
+        One-time cost per deployment (persisted by the JAX compilation
+        cache); returns the list of (batch, t_x, t_y) triples warmed.
+        """
+        batch_sizes = (list(batch_sizes) if batch_sizes
+                       else list(self.batch_buckets))
+        lo, hi = fpt_range
+        triples = []
+        for t_x in self.text_buckets:
+            y_lo = self._bucket(int(t_x * lo * length_scale),
+                                self.batch_frame_buckets)
+            y_hi = self._bucket(int(t_x * hi * length_scale),
+                                self.batch_frame_buckets)
+            t_ys = [t for t in self.batch_frame_buckets if y_lo <= t <= y_hi]
+            for b in batch_sizes:
+                b = self._bucket(b, self.batch_buckets)
+                for t_y in t_ys:
+                    if (b, t_x, t_y) not in triples:
+                        triples.append((b, t_x, t_y))
+        for b, t_x, t_y in triples:
+            if self.compute_dtype == "float32":
+                try:
+                    self._check_vocoder_memory(b, t_y)
+                except ValueError:
+                    continue  # unreachable at runtime: the same guard trips
+            # arbitrary valid tokens; t_y is forced, so content is irrelevant
+            x = jnp.asarray(np.ones((b, t_x), np.int32))
+            x_lengths = jnp.asarray(np.full((b,), t_x, np.int32))
+            spks = np.full((b,), spk, np.int32) if spk is not None else None
+            # warm the encoder-only duration graph for this (b, t_x) too —
+            # predict_frame_bucket runs it before every batched call
+            encode_only(self.matcha_params, x, x_lengths, self.matcha_cfg,
+                        length_scale=length_scale, spks=spks)
+            _synthesize_to_wav(
+                self.matcha_params, self.vocoder_params,
+                jax.random.PRNGKey(0), x, x_lengths,
+                self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
+                temperature, length_scale, spks=spks,
+                compute_dtype=self.compute_dtype,
+                noise_ids=jnp.asarray(np.zeros((b,), np.int32)),
+            )
+        return triples
+
     # -- long-form / batched -------------------------------------------------
 
     @staticmethod

@@ -284,3 +284,30 @@ def test_fp32_large_batch_hbm_guard():
     syn._check_vocoder_memory(8, 768)   # measured-working fp32 shape
     syn.compute_dtype = "bfloat16"      # supported batch-throughput mode
     syn._check_vocoder_memory(32, 2048)
+
+
+def test_warmup_grid_covers_all_compositions():
+    """After `warmup_grid`, NO batched-traffic composition within the
+    warmed ranges may trigger a new fused-graph compile (the p99 cliff in
+    the serving soak: a novel (batch, text, frame) triple compiling
+    mid-request, docs/RESULTS.md)."""
+    from matcha_tts_tpu.inference import synthesizer as synth_mod
+
+    cfg, hcfg, mp, vp = tiny_models()
+    syn = Synthesizer(mp, cfg, vp, hcfg,
+                      text_buckets=(16, 32), batch_buckets=(1, 2, 4),
+                      batch_frame_buckets=(64, 128))
+    triples = syn.warmup_grid(n_timesteps=2, fpt_range=(1.0, 4.0))
+    # every (batch, text) pair reaches at least one frame bucket
+    assert {(b, tx) for b, tx, _ in triples} == {
+        (b, tx) for b in (1, 2, 4) for tx in (16, 32)}
+    before = synth_mod._synthesize_to_wav._cache_size()
+    # compositions chosen to sweep batch buckets (1, 2, 4), both text
+    # buckets, and duration-model-driven frame buckets
+    syn.synthesize_batch(["hi"], n_timesteps=2)
+    syn.synthesize_batch(["one two", "a much longer sentence that "
+                          "overflows the small text bucket"], n_timesteps=2)
+    syn.synthesize_batch(["a", "bb", "ccc"], n_timesteps=2)
+    syn.synthesize_batch(["w x y z"] * 4, n_timesteps=2)
+    assert synth_mod._synthesize_to_wav._cache_size() == before, (
+        "batched traffic compiled a graph warmup_grid did not cover")
