@@ -27,7 +27,9 @@ def load_models(checkpoint=None, vocoder=None, cfg=None, hcfg=None):
     """Load (or randomly initialize) Matcha + HiFi-GAN parameter trees.
 
     Accepts torch .ckpt/.pt checkpoints (Lightning `model.` prefix handled
-    by the converter) — shared by the inference CLI and the HTTP server.
+    by the converter) or http(s) URLs (auto-downloaded once into the local
+    cache, main.py:139-142 semantics; see utils/fetch.py) — shared by the
+    inference CLI and the HTTP server.
     Returns (matcha_params, cfg, vocoder_params, hcfg).
     """
     from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
@@ -68,9 +70,11 @@ def main(argv=None):
     parser.add_argument("--text", type=str,
                         default="Hello! I am running on the TPU-native model.")
     parser.add_argument("--checkpoint", type=str, default=None,
-                        help="Matcha checkpoint (.ckpt torch or orbax dir)")
+                        help="Matcha checkpoint (.ckpt torch or orbax dir; "
+                             "http(s) URLs are auto-downloaded)")
     parser.add_argument("--vocoder", type=str, default=None,
-                        help="HiFi-GAN generator checkpoint (torch)")
+                        help="HiFi-GAN generator checkpoint (torch path or "
+                             "http(s) URL, downloaded once into the cache)")
     parser.add_argument("--nfe", type=int, default=10)
     parser.add_argument("--temperature", type=float, default=0.667)
     parser.add_argument("--length-scale", type=float, default=1.0)

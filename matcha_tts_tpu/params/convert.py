@@ -38,10 +38,18 @@ StateDict = Dict[str, Array]
 
 def load_torch_state_dict(path) -> StateDict:
     """Load a torch checkpoint to numpy, stripping the Lightning `model.`
-    prefix (main.py:94-111)."""
+    prefix (main.py:94-111).
+
+    ``path`` may also be an ``http(s)://`` URL, downloaded once into the
+    local cache — the reference's vocoder auto-download surface
+    (main.py:139-142), generalized to every checkpoint argument.
+    """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    from matcha_tts_tpu.utils.fetch import resolve_checkpoint
+
+    ckpt = torch.load(resolve_checkpoint(path), map_location="cpu",
+                      weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
     if "generator" in sd and isinstance(sd["generator"], dict):
         sd = sd["generator"]
