@@ -1,0 +1,192 @@
+"""Small in-repo CTC speech recognizer (JAX, TPU-first).
+
+The reference's intelligibility metric transcribes synthesized audio with
+Whisper-medium and scores WER with jiwer (MOS_audiou_generator.ipynb cells
+13-14).  Whisper weights cannot be downloaded in this environment, so this
+module provides a self-contained recognizer with the same *evaluation
+surface*: log-mel in, text out, pluggable into `eval.wer.evaluate_wer`.
+
+It is deliberately tiny — a dilated-conv CTC model over the exact log-mel
+features the rest of the framework produces (ops/stft.py, the reference's
+train_standalone.py:164-201 numerics) — so it can be trained from scratch
+on an in-repo corpus in seconds and used to close the synthesize ->
+transcribe -> WER loop on hardware (benchmarks/wer_e2e.py).
+
+TPU notes: channels-last (B, T, C), static shapes, one fused jit train
+step; the convs ride the MXU, CTC's alpha recursion is optax's
+lax.scan implementation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from matcha_tts_tpu.models import nn
+from matcha_tts_tpu.ops.masking import sequence_mask
+
+# Character alphabet: CTC blank = 0, 'a'..'z' = 1..26, space = 27.
+BLANK_ID = 0
+SPACE_ID = 27
+ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+VOCAB_SIZE = 1 + len(ALPHABET)
+
+# log(1e-5): the mel floor of the canonical log-mel transform — what
+# "silence" looks like in feature space, used to pad beyond mel_lengths.
+MEL_PAD_VALUE = -11.512925
+
+
+def encode_chars(text: str) -> np.ndarray:
+    """Lowercased a-z/space text -> label ids (no blanks)."""
+    ids = []
+    for ch in text.lower():
+        if ch == " ":
+            ids.append(SPACE_ID)
+        elif "a" <= ch <= "z":
+            ids.append(ord(ch) - ord("a") + 1)
+    return np.asarray(ids, np.int32)
+
+
+def decode_chars(ids: Sequence[int]) -> str:
+    out = []
+    for i in ids:
+        if i == SPACE_ID:
+            out.append(" ")
+        elif 1 <= i <= 26:
+            out.append(chr(ord("a") + i - 1))
+    return "".join(out)
+
+
+@dataclasses.dataclass(frozen=True)
+class CTCASRConfig:
+    n_mels: int = 80
+    vocab_size: int = VOCAB_SIZE
+    hidden: int = 192
+    kernel: int = 5
+    stride: int = 2                      # stem time reduction
+    dilations: Tuple[int, ...] = (1, 2, 4, 1)
+
+
+def init_ctc_asr(key, cfg: CTCASRConfig) -> Dict:
+    keys = jax.random.split(key, 2 + len(cfg.dilations))
+    params = {
+        "in_norm": nn.init_norm(cfg.n_mels),
+        "stem": nn.init_conv1d(keys[0], cfg.n_mels, cfg.hidden, cfg.kernel),
+        "blocks": [],
+        "head": nn.init_linear(keys[1], cfg.hidden, cfg.vocab_size),
+    }
+    for i, _ in enumerate(cfg.dilations):
+        params["blocks"].append({
+            "conv": nn.init_conv1d(keys[2 + i], cfg.hidden, cfg.hidden,
+                                   cfg.kernel),
+            "norm": nn.init_norm(cfg.hidden),
+        })
+    return params
+
+
+def out_lengths(mel_lengths: jnp.ndarray, cfg: CTCASRConfig) -> jnp.ndarray:
+    """Frame count after the strided stem (SAME-style pad, ceil division)."""
+    return (mel_lengths + cfg.stride - 1) // cfg.stride
+
+
+def ctc_logits(params: Dict, mel: jnp.ndarray, mel_lengths: jnp.ndarray,
+               cfg: CTCASRConfig) -> jnp.ndarray:
+    """(B, T, n_mels) log-mel -> (B, ceil(T/stride), vocab) logits.
+
+    Padding frames are forced to the mel floor before the convs so the
+    batch bucket size never changes the valid-region activations.
+    """
+    mask = sequence_mask(mel_lengths, mel.shape[1])[..., None]
+    mel = jnp.where(mask, mel, MEL_PAD_VALUE)
+    x = nn.layer_norm(params["in_norm"], mel)
+    pad = (cfg.kernel - 1) // 2
+    x = jax.nn.gelu(nn.conv1d(params["stem"], x, stride=cfg.stride,
+                              padding=pad))
+    for blk, dil in zip(params["blocks"], cfg.dilations):
+        h = nn.layer_norm(blk["norm"], x)
+        h = jax.nn.gelu(nn.conv1d(blk["conv"], h, padding=pad * dil,
+                                  dilation=dil))
+        x = x + h
+    return nn.linear(params["head"], x)
+
+
+def ctc_asr_loss(params: Dict, mel: jnp.ndarray, mel_lengths: jnp.ndarray,
+                 labels: jnp.ndarray, label_lengths: jnp.ndarray,
+                 cfg: CTCASRConfig) -> jnp.ndarray:
+    logits = ctc_logits(params, mel, mel_lengths, cfg)
+    t_out = logits.shape[1]
+    logit_pad = 1.0 - sequence_mask(out_lengths(mel_lengths, cfg),
+                                    t_out).astype(jnp.float32)
+    label_pad = 1.0 - sequence_mask(label_lengths,
+                                    labels.shape[1]).astype(jnp.float32)
+    per_seq = optax.ctc_loss(logits, logit_pad, labels, label_pad,
+                             blank_id=BLANK_ID)
+    return jnp.mean(per_seq / jnp.maximum(label_lengths, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "optimizer"))
+def _train_step(params, opt_state, mel, mel_lengths, labels, label_lengths,
+                cfg: CTCASRConfig, optimizer):
+    loss, grads = jax.value_and_grad(ctc_asr_loss)(
+        params, mel, mel_lengths, labels, label_lengths, cfg)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def train_ctc_asr(key, mels: np.ndarray, mel_lengths: np.ndarray,
+                  labels: np.ndarray, label_lengths: np.ndarray,
+                  cfg: CTCASRConfig, steps: int = 400, lr: float = 3e-4,
+                  log_every: int = 0) -> Dict:
+    """Full-batch Adam training (corpora here are tens of utterances).
+
+    Returns the trained params; `log_every > 0` prints loss progress.
+    """
+    params = init_ctc_asr(key, cfg)
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+    mel = jnp.asarray(mels)
+    mel_lengths = jnp.asarray(mel_lengths)
+    labels = jnp.asarray(labels)
+    label_lengths = jnp.asarray(label_lengths)
+    for step in range(1, steps + 1):
+        params, opt_state, loss = _train_step(
+            params, opt_state, mel, mel_lengths, labels, label_lengths,
+            cfg, optimizer)
+        if log_every and (step % log_every == 0 or step == 1):
+            print(f"  asr step {step}: ctc_loss/char {float(loss):.4f}")
+    return params
+
+
+def greedy_decode(logits: np.ndarray, lengths: np.ndarray) -> List[str]:
+    """Best-path CTC decode: argmax, collapse repeats, drop blanks."""
+    best = np.asarray(jnp.argmax(logits, axis=-1))
+    lengths = np.asarray(lengths)
+    texts = []
+    for b in range(best.shape[0]):
+        seq = best[b, : int(lengths[b])]
+        collapsed = [int(s) for i, s in enumerate(seq)
+                     if s != BLANK_ID and (i == 0 or s != seq[i - 1])]
+        texts.append(decode_chars(collapsed))
+    return texts
+
+
+def transcribe_mels(params: Dict, mels: np.ndarray, mel_lengths: np.ndarray,
+                    cfg: CTCASRConfig) -> List[str]:
+    """(B, T, n_mels) log-mel batch -> hypothesis strings.
+
+    Works on either ground-truth features (ops/stft.py) or the acoustic
+    model's synthesized mels — both live in the same denormalized log-mel
+    space, exactly the features a mel-input ASR like Whisper consumes.
+    """
+    logits = jax.jit(ctc_logits, static_argnames="cfg")(
+        params, jnp.asarray(mels), jnp.asarray(mel_lengths), cfg)
+    return greedy_decode(np.asarray(jax.device_get(logits)),
+                         np.asarray(out_lengths(jnp.asarray(mel_lengths),
+                                                cfg)))

@@ -1,0 +1,94 @@
+"""The in-repo intelligibility judge: CTC ASR + the WER loop.
+
+Covers the executed-quality-metric surface (the reference's
+MOS_audiou_generator.ipynb cells 13-14 evaluate with Whisper + jiwer;
+matcha_tts_tpu/eval provides the same loop with an in-repo judge):
+  - character codec round trip;
+  - the CTC ASR learns a toy task to exact decode;
+  - the tone-corpus ground-truth path end to end THROUGH `evaluate_wer`
+    (wav -> 16 kHz resample -> log-mel -> CTC decode), generalizing to
+    held-out sentences — the plumbing benchmarks/wer_e2e.py runs at
+    full size on hardware.
+"""
+
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from matcha_tts_tpu.config import MatchaConfig
+from matcha_tts_tpu.eval.ctc_asr import (CTCASRConfig, MEL_PAD_VALUE,
+                                         decode_chars, encode_chars,
+                                         train_ctc_asr, transcribe_mels)
+from matcha_tts_tpu.eval.wer import evaluate_wer
+
+from benchmarks.wer_e2e import (SR, char_tones, featurize_texts,
+                                make_asr_callable, pack_labels, render_text)
+
+
+def test_char_codec_round_trip():
+    text = "the quick brown fox jumps over the lazy dog"
+    assert decode_chars(encode_chars(text)) == text
+    # punctuation/digits are dropped, case folded
+    assert decode_chars(encode_chars("Hello, World! 123")) == "hello world "
+
+
+def test_char_tones_unique_and_in_band():
+    seen = set()
+    for k in range(26):
+        pair = char_tones(chr(ord("a") + k))
+        assert pair not in seen
+        seen.add(pair)
+        assert 0 < pair[0] < 8000 and 0 < pair[1] < 8000  # acoustic mel band
+    assert char_tones(" ") not in seen and char_tones(" ") is not None
+    assert char_tones("!") is None
+
+
+def test_ctc_asr_learns_toy_task_to_exact_decode():
+    cfg = CTCASRConfig(n_mels=8, hidden=32, dilations=(1, 2))
+    texts = ["abc", "cab", "bca", "cba", "bac", "acb", "bab", "cbc"]
+    seg = 6
+    mels, mlens = [], []
+    for text in texts:
+        m = np.full((32, 8), MEL_PAD_VALUE, np.float32)
+        pos = 0
+        for ch in text:
+            k = ord(ch) - ord("a")
+            pat = np.full((seg, 8), -8.0, np.float32)
+            pat[:, 2 * k : 2 * k + 2] = -1.0
+            m[pos : pos + seg] = pat
+            pos += seg + 1
+        mels.append(m)
+        mlens.append(pos - 1)
+    mels = np.stack(mels)
+    mlens = np.asarray(mlens, np.int32)
+    labels, llens = pack_labels(texts)
+    params = train_ctc_asr(jax.random.PRNGKey(0), mels, mlens, labels, llens,
+                           cfg, steps=300, lr=3e-3)
+    assert transcribe_mels(params, mels, mlens, cfg) == texts
+
+
+def test_tone_corpus_wer_loop_generalizes_to_held_out():
+    """GT audio -> evaluate_wer (16 kHz resample surface) -> low WER on
+    sentences the judge never saw: the full wer_e2e judge path."""
+    train_texts = ["call me now", "send the cat", "go home fast",
+                   "we are done", "take the red box", "run to me",
+                   "see you soon", "make it so"]
+    held_out = ["call the cat", "go see the box"]
+    a = MatchaConfig().audio
+    frame_bucket = 128
+    cfg = CTCASRConfig(n_mels=a.n_mels, hidden=96, dilations=(1, 2))
+    gt_mel, gt_lens = featurize_texts(train_texts, a, frame_bucket,
+                                      noise_seed=3)
+    labels, llens = pack_labels(train_texts)
+    params = train_ctc_asr(jax.random.PRNGKey(1), gt_mel, gt_lens, labels,
+                           llens, cfg, steps=350, lr=2e-3)
+
+    rng = np.random.default_rng(4)
+    wavs = [render_text(t, rng) for t in held_out]
+    out = evaluate_wer(held_out, wavs, SR,
+                       make_asr_callable(params, cfg, a, frame_bucket))
+    assert out["mean_wer"] <= 0.25, out
