@@ -61,6 +61,9 @@ def main(argv=None):
     p.add_argument("--nfe", type=int, default=10)
     p.add_argument("--whisper", type=str, default=None,
                    help="local path to a Whisper model for WER")
+    p.add_argument("--ctc-asr", type=str, default=None,
+                   help="path to a trained in-repo CTC judge (.npz, saved "
+                        "by benchmarks/wer_e2e.py) for WER without Whisper")
     p.add_argument("--out_dir", type=str, default=None,
                    help="write synthesized WAVs here")
     args = p.parse_args(argv)
@@ -129,6 +132,16 @@ def main(argv=None):
             summary["mean_wer"] = wer["mean_wer"]
         except Exception as e:  # pragma: no cover
             summary["wer_error"] = str(e)[:200]
+    elif args.ctc_asr:
+        from matcha_tts_tpu.eval.ctc_asr import load_ctc_asr, \
+            wav_asr_callable
+
+        jp, jcfg = load_ctc_asr(args.ctc_asr)
+        max_frames = max(len(w) for w in wavs) // cfg.audio.hop_length + 2
+        bucket = ((max_frames + 63) // 64) * 64
+        wer = evaluate_wer(SENTENCES, wavs, sr,
+                           wav_asr_callable(jp, jcfg, cfg.audio, bucket))
+        summary["mean_wer"] = wer["mean_wer"]
 
     print(json.dumps(summary))
     return summary

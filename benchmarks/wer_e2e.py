@@ -47,8 +47,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from matcha_tts_tpu.config import MatchaConfig, TrainConfig
 from matcha_tts_tpu.data.dataset import create_filelists
 from matcha_tts_tpu.eval.ctc_asr import (CTCASRConfig, MEL_PAD_VALUE,
-                                         encode_chars, train_ctc_asr,
-                                         transcribe_mels)
+                                         encode_chars, save_ctc_asr,
+                                         train_ctc_asr, transcribe_mels,
+                                         wav_asr_callable)
 from matcha_tts_tpu.eval.wer import evaluate_wer, normalize_for_wer, \
     word_error_rate
 from matcha_tts_tpu.models.matcha import synthesize
@@ -177,32 +178,8 @@ def pack_labels(texts):
 
 
 def make_asr_callable(asr_params, asr_cfg, a, frame_bucket: int):
-    """wav16k -> hypothesis string, the `evaluate_wer` judge surface.
-
-    Mirrors what a real mel-input ASR (Whisper) does internally: resample
-    to the judge's rate, log-mel, decode.  Audio is padded to one fixed
-    bucket so the whole path is a single compiled graph.
-    """
-    wav_bucket = (frame_bucket - 1) * a.hop_length + a.n_fft - 2 * int(
-        (a.n_fft - a.hop_length) / 2)
-
-    def asr(wav16k: np.ndarray) -> str:
-        t_src = np.arange(len(wav16k)) / 16000.0
-        n_dst = int(len(wav16k) * a.sample_rate / 16000.0)
-        t_dst = np.arange(n_dst) / a.sample_rate
-        wav = np.interp(t_dst, t_src, wav16k).astype(np.float32)[:wav_bucket]
-        audio = np.zeros((1, wav_bucket), np.float32)
-        audio[0, : len(wav)] = wav
-        mel = np.array(_gt_logmel(jnp.asarray(audio), a.sample_rate,
-                                  a.n_fft, a.n_mels, a.hop_length,
-                                  a.win_length, a.f_min, a.f_max))
-        mel = np.ascontiguousarray(mel.transpose(0, 2, 1), np.float32)
-        n = min(_n_frames(len(wav), a), frame_bucket)
-        mel[0, n:] = MEL_PAD_VALUE
-        return transcribe_mels(asr_params, mel, np.asarray([n], np.int32),
-                               asr_cfg)[0]
-
-    return asr
+    """wav16k -> hypothesis string (matcha_tts_tpu.eval.ctc_asr surface)."""
+    return wav_asr_callable(asr_params, asr_cfg, a, frame_bucket)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "nfe", "t_y"))
@@ -272,6 +249,11 @@ def main(argv=None):
                                labels, label_lens, asr_cfg,
                                steps=args.asr_steps, lr=1e-3, log_every=100)
     print(f"asr trained in {time.time() - t0:.0f}s")
+    Path(args.work_dir).mkdir(parents=True, exist_ok=True)
+    judge_path = Path(args.work_dir) / "ctc_judge.npz"
+    save_ctc_asr(judge_path, asr_params, asr_cfg)
+    print(f"judge saved: {judge_path} "
+          f"(usable via benchmarks/evaluate.py --ctc-asr)")
 
     # 2. judge sanity on held-out GROUND-TRUTH audio, full wav surface
     held_wavs = [render_text(t, np.random.default_rng(2)) for t in HELD_OUT]

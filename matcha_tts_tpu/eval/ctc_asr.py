@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import json
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -190,3 +191,88 @@ def transcribe_mels(params: Dict, mels: np.ndarray, mel_lengths: np.ndarray,
     return greedy_decode(np.asarray(jax.device_get(logits)),
                          np.asarray(out_lengths(jnp.asarray(mel_lengths),
                                                 cfg)))
+
+
+def wav_asr_callable(params: Dict, cfg: CTCASRConfig, audio,
+                     frame_bucket: int):
+    """Build the `evaluate_wer` judge surface: wav16k -> hypothesis string.
+
+    Mirrors what a mel-input ASR (Whisper) does internally: resample to
+    the judge's rate, log-mel (the canonical ops/stft.py transform with
+    the model's AudioConfig), CTC decode.  Audio is padded to one fixed
+    bucket so the whole path is a single compiled graph.
+    """
+    from matcha_tts_tpu.ops.stft import log_mel_spectrogram
+
+    pad = int((audio.n_fft - audio.hop_length) / 2)
+    wav_bucket = ((frame_bucket - 1) * audio.hop_length + audio.n_fft
+                  - 2 * pad)
+
+    @jax.jit
+    def _logmel(batch):
+        return log_mel_spectrogram(batch, audio.sample_rate, audio.n_fft,
+                                   audio.n_mels, audio.hop_length,
+                                   audio.win_length, audio.f_min,
+                                   audio.f_max)
+
+    def asr(wav16k: np.ndarray) -> str:
+        t_src = np.arange(len(wav16k)) / 16000.0
+        n_dst = int(len(wav16k) * audio.sample_rate / 16000.0)
+        t_dst = np.arange(n_dst) / audio.sample_rate
+        wav = np.interp(t_dst, t_src, wav16k).astype(np.float32)
+        wav = wav[:wav_bucket]
+        batch = np.zeros((1, wav_bucket), np.float32)
+        batch[0, : len(wav)] = wav
+        mel = np.array(_logmel(jnp.asarray(batch)))
+        mel = np.ascontiguousarray(mel.transpose(0, 2, 1), np.float32)
+        n = min(1 + (len(wav) + 2 * pad - audio.n_fft) // audio.hop_length,
+                frame_bucket)
+        mel[0, n:] = MEL_PAD_VALUE
+        return transcribe_mels(params, mel, np.asarray([n], np.int32), cfg)[0]
+
+    return asr
+
+
+# ---------------------------------------------------------------------------
+# persistence: a trained judge is a framework artifact (.npz) usable by
+# benchmarks/evaluate.py --ctc-asr without retraining
+# ---------------------------------------------------------------------------
+
+
+def save_ctc_asr(path, params: Dict, cfg: CTCASRConfig) -> None:
+    """Write params + config to a single .npz file."""
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(
+            str(p.key) if hasattr(p, "key") else str(p.idx) for p in kp)
+        flat[key] = np.asarray(leaf)
+    cfg_json = json.dumps(dataclasses.asdict(cfg))
+    flat["__config__"] = np.frombuffer(cfg_json.encode(), np.uint8)
+    np.savez(path, **flat)
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    root: Dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+
+    def finalize(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [finalize(node[str(i)]) for i in range(len(node))]
+        return {k: finalize(v) for k, v in node.items()}
+
+    return finalize(root)
+
+
+def load_ctc_asr(path):
+    """Read a judge saved by `save_ctc_asr` -> (params, CTCASRConfig)."""
+    data = dict(np.load(path))
+    raw = json.loads(bytes(data.pop("__config__")).decode())
+    raw["dilations"] = tuple(raw["dilations"])
+    return _unflatten(data), CTCASRConfig(**raw)

@@ -70,6 +70,16 @@ def test_ctc_asr_learns_toy_task_to_exact_decode():
                            cfg, steps=300, lr=3e-3)
     assert transcribe_mels(params, mels, mlens, cfg) == texts
 
+    # persistence round trip: a saved judge transcribes identically
+    from matcha_tts_tpu.eval.ctc_asr import load_ctc_asr, save_ctc_asr
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        save_ctc_asr(Path(d) / "judge.npz", params, cfg)
+        p2, cfg2 = load_ctc_asr(Path(d) / "judge.npz")
+    assert cfg2 == cfg
+    assert transcribe_mels(p2, mels, mlens, cfg2) == texts
+
 
 def test_tone_corpus_wer_loop_generalizes_to_held_out():
     """GT audio -> evaluate_wer (16 kHz resample surface) -> low WER on
