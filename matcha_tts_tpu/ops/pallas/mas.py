@@ -34,7 +34,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30  # python float: jnp scalars would be captured as constants
-_CHUNK = 64  # columns streamed per grid step
+_CHUNK = 64  # max columns streamed per grid step (see _pick_chunk)
+
+# The forward pallas_call keeps 6 chunk-blocks resident in scoped VMEM —
+# the value input plus the two outputs (dp column + backtrack bits), each
+# double-buffered by the Mosaic pipeline — plus the (B, T_x) carry-column
+# scratch.  Keep their sum under the 16 MB scoped-VMEM limit with margin
+# (measured: batch 64 x T_x 256 with chunk 64 allocates 24.06 MB and
+# fails AOT compilation; chunk 32 fits).
+_VMEM_BUDGET = 14 * 1024 * 1024
+_PIPELINE_BLOCKS = 6
+
+
+def _col_bytes(b: int, t_x: int) -> int:
+    """Bytes of one padded (B, T_x) float32 column."""
+    bp = -(-b // 8) * 8
+    xp = -(-t_x // 128) * 128
+    return bp * xp * 4
+
+
+def _pick_chunk(b: int, t_x: int) -> int:
+    """Largest power-of-two chunk (<= _CHUNK) whose pipeline fits VMEM."""
+    col = _col_bytes(b, t_x)
+    chunk = _CHUNK
+    while chunk > 8 and _PIPELINE_BLOCKS * chunk * col + col > _VMEM_BUDGET:
+        chunk //= 2
+    return chunk
 
 
 def _shift_right(arr, s, fill):
@@ -126,11 +151,11 @@ def _bwd_kernel(down_ref, t_x_ref, t_y_ref, path_ref, idx_ref,
 
 
 def mas_pallas_ok(b: int, t_x: int, t_y: int) -> bool:
-    """Shape gate: the (B, T_x) column must fit VMEM comfortably and the
-    lane layout stay dense after padding."""
-    bp = -(-b // 8) * 8
-    xp = -(-t_x // 128) * 128
-    return bp * xp * 4 <= 4 * 1024 * 1024 and t_y >= t_x
+    """Shape gate: even the smallest chunk's pipeline buffers must fit the
+    scoped-VMEM budget (see _pick_chunk), and the band must be valid."""
+    col = _col_bytes(b, t_x)
+    return (_PIPELINE_BLOCKS * 8 * col + col <= _VMEM_BUDGET
+            and t_y >= t_x)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -149,7 +174,8 @@ def maximum_path_pallas(neg_cent: jnp.ndarray, mask: jnp.ndarray,
 
     bp = -(-b // 8) * 8
     xp = -(-t_x // 128) * 128
-    yp = -(-t_y // _CHUNK) * _CHUNK
+    chunk = _pick_chunk(b, t_x)
+    yp = -(-t_y // chunk) * chunk
     value = neg_cent.astype(jnp.float32)
     value = jnp.pad(value, ((0, bp - b), (0, xp - t_x), (0, yp - t_y)))
     # padded items: t_x=1, t_y=1 keeps their band trivially consistent
@@ -162,14 +188,14 @@ def maximum_path_pallas(neg_cent: jnp.ndarray, mask: jnp.ndarray,
         interpret = jax.default_backend() == "cpu"
 
     vt = value.transpose(2, 0, 1)  # (T_y, B, T_x): columns stream in chunks
-    n_chunks = yp // _CHUNK
+    n_chunks = yp // chunk
 
     grid = (n_chunks,)
-    col_spec = pl.BlockSpec((_CHUNK, bp, xp), lambda i: (i, 0, 0))
+    col_spec = pl.BlockSpec((chunk, bp, xp), lambda i: (i, 0, 0))
     len_spec = pl.BlockSpec((bp, 1), lambda i: (0, 0))
 
     _, down = pl.pallas_call(
-        functools.partial(_fwd_kernel, chunk=_CHUNK, t_x_size=xp),
+        functools.partial(_fwd_kernel, chunk=chunk, t_x_size=xp),
         grid=grid,
         in_specs=[col_spec, len_spec, len_spec],
         out_specs=[col_spec, col_spec],
@@ -179,9 +205,9 @@ def maximum_path_pallas(neg_cent: jnp.ndarray, mask: jnp.ndarray,
         interpret=interpret,
     )(vt, t_xs, t_ys)
 
-    rev_spec = pl.BlockSpec((_CHUNK, bp, xp), lambda i: (n_chunks - 1 - i, 0, 0))
+    rev_spec = pl.BlockSpec((chunk, bp, xp), lambda i: (n_chunks - 1 - i, 0, 0))
     path = pl.pallas_call(
-        functools.partial(_bwd_kernel, chunk=_CHUNK, t_x_size=xp,
+        functools.partial(_bwd_kernel, chunk=chunk, t_x_size=xp,
                           n_chunks=n_chunks),
         grid=grid,
         in_specs=[rev_spec, len_spec, len_spec],

@@ -48,8 +48,41 @@ def test_pallas_mas_matches_scan_impl():
 
 def test_shape_gate():
     assert mas_pallas_ok(32, 256, 768)
+    assert mas_pallas_ok(64, 256, 768)          # large batch: smaller chunk
     assert not mas_pallas_ok(32, 256, 100)     # t_y < t_x
     assert not mas_pallas_ok(4096, 2048, 4096)  # column exceeds VMEM budget
+
+
+def test_pick_chunk_respects_vmem_budget():
+    # Chunk 64 at batch 64 x T_x 256 allocates 24 MB of scoped VMEM on TPU
+    # (measured AOT-compile failure); the picker must halve it, and every
+    # gate-passing shape must fit the budget model.
+    from matcha_tts_tpu.ops.pallas.mas import (
+        _col_bytes, _pick_chunk, _PIPELINE_BLOCKS, _VMEM_BUDGET)
+
+    assert _pick_chunk(32, 256) == 64   # the measured-good round-1 shape
+    assert _pick_chunk(64, 256) == 32   # the measured-OOM shape, halved
+    assert _pick_chunk(128, 256) == 16
+    for b, t_x in [(8, 128), (32, 256), (64, 256), (128, 512), (256, 512)]:
+        if mas_pallas_ok(b, t_x, max(t_x, 1024)):
+            chunk = _pick_chunk(b, t_x)
+            used = _PIPELINE_BLOCKS * chunk * _col_bytes(b, t_x) \
+                + _col_bytes(b, t_x)
+            assert used <= _VMEM_BUDGET, (b, t_x, chunk, used)
+
+
+def test_pallas_mas_large_batch_small_chunk_matches_oracle():
+    # batch 64 triggers chunk=32 (< the 64-column max): exercise the
+    # adaptive-chunk path end to end in interpret mode.
+    from matcha_tts_tpu.ops.pallas.mas import _pick_chunk
+
+    assert _pick_chunk(64, 256) < 64
+    rng = np.random.default_rng(7)
+    value, mask = _case(rng, 64, 256, 320)
+    want = maximum_path_numpy(value, mask)
+    got = np.asarray(maximum_path_pallas(jnp.asarray(value),
+                                         jnp.asarray(mask), interpret=True))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_auto_impl_on_cpu_uses_scan():

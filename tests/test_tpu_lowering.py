@@ -57,6 +57,19 @@ def test_mas_kernel_lowers_for_tpu():
     _assert_mosaic(txt, 2)  # forward DP + backtrack
 
 
+def test_mas_kernel_lowers_for_tpu_large_batch():
+    # batch 64 picks the reduced 32-column chunk (the 64-column pipeline
+    # exceeds the scoped-VMEM limit on TPU — measured AOT failure)
+    from matcha_tts_tpu.ops.pallas.mas import _pick_chunk, maximum_path_pallas
+
+    assert _pick_chunk(64, 256) == 32
+    nc = jax.ShapeDtypeStruct((64, 256, 768), jnp.float32)
+    mk = jax.ShapeDtypeStruct((64, 256, 768), jnp.float32)
+    txt = lower_tpu(
+        lambda v, m: maximum_path_pallas(v, m, interpret=False), nc, mk)
+    _assert_mosaic(txt, 2)
+
+
 def test_block1d_kernel_lowers_for_tpu():
     from matcha_tts_tpu.ops.pallas.block1d import block1d_fused
 
