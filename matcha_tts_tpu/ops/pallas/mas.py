@@ -44,6 +44,7 @@ _CHUNK = 64  # max columns streamed per grid step (see _pick_chunk)
 # fails AOT compilation; chunk 32 fits).
 _VMEM_BUDGET = 14 * 1024 * 1024
 _PIPELINE_BLOCKS = 6
+_MIN_CHUNK = 8  # floor shared by _pick_chunk and the mas_pallas_ok gate
 
 
 def _col_bytes(b: int, t_x: int) -> int:
@@ -57,7 +58,8 @@ def _pick_chunk(b: int, t_x: int) -> int:
     """Largest power-of-two chunk (<= _CHUNK) whose pipeline fits VMEM."""
     col = _col_bytes(b, t_x)
     chunk = _CHUNK
-    while chunk > 8 and _PIPELINE_BLOCKS * chunk * col + col > _VMEM_BUDGET:
+    while (chunk > _MIN_CHUNK
+           and _PIPELINE_BLOCKS * chunk * col + col > _VMEM_BUDGET):
         chunk //= 2
     return chunk
 
@@ -154,7 +156,7 @@ def mas_pallas_ok(b: int, t_x: int, t_y: int) -> bool:
     """Shape gate: even the smallest chunk's pipeline buffers must fit the
     scoped-VMEM budget (see _pick_chunk), and the band must be valid."""
     col = _col_bytes(b, t_x)
-    return (_PIPELINE_BLOCKS * 8 * col + col <= _VMEM_BUDGET
+    return (_PIPELINE_BLOCKS * _MIN_CHUNK * col + col <= _VMEM_BUDGET
             and t_y >= t_x)
 
 
