@@ -209,6 +209,11 @@ class Synthesizer:
         self.batch_frame_buckets = tuple(batch_frame_buckets)
         self.compute_dtype = compute_dtype
         self.denoise_strength = float(denoise_strength)
+        # Observability: fused-graph call count and heuristic frame-bucket
+        # undershoot retries (each retry is one wasted device call; see
+        # benchmarks/duration_buckets.py for validation against a trained
+        # duration model).
+        self.stats = {"calls": 0, "bucket_retries": 0}
         self._bias_spec = None
         if self.denoise_strength > 0.0 and vocoder_params is not None:
             from matcha_tts_tpu.models.denoiser import make_denoiser
@@ -348,6 +353,7 @@ class Synthesizer:
         key = jax.random.PRNGKey(seed)
         noise_ids = jnp.asarray([self._noise_id(ids)], jnp.int32)
         while True:
+            self.stats["calls"] += 1
             packed, out = _synthesize_packed(
                 self.matcha_params, self.vocoder_params, key, x, x_lengths,
                 self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
@@ -365,6 +371,7 @@ class Synthesizer:
                     and t_y != self.frame_buckets[-1]):
                 bigger = [b for b in self.frame_buckets if b > t_y]
                 t_y = bigger[0]
+                self.stats["bucket_retries"] += 1
                 continue
             self._observe_ratio(result.y_length, len(ids), length_scale)
             return result

@@ -311,3 +311,26 @@ def test_warmup_grid_covers_all_compositions():
     syn.synthesize_batch(["w x y z"] * 4, n_timesteps=2)
     assert synth_mod._synthesize_to_wav._cache_size() == before, (
         "batched traffic compiled a graph warmup_grid did not cover")
+
+
+def test_synthesizer_stats_count_calls_and_bucket_retries():
+    cfg, hcfg, mp, vp = tiny_models()
+    syn = Synthesizer(mp, cfg, vp, hcfg,
+                      text_buckets=(32,), frame_buckets=(8, 64))
+    assert syn.stats == {"calls": 0, "bucket_retries": 0}
+    r = syn.synthesize("hello there friend", n_timesteps=2, seed=0)
+    assert np.isfinite(r.wav).all()
+    assert syn.stats["calls"] >= 1
+    base = dict(syn.stats)
+    # force an undershoot: a frames-per-token prior far below what the
+    # duration model emits makes the first bucket too small, so the
+    # heuristic must retry one bucket up and count it
+    syn2 = Synthesizer(mp, cfg, vp, hcfg,
+                       text_buckets=(32,), frame_buckets=(8, 64))
+    syn2.FRAMES_PER_TOKEN = 0.1
+    r2 = syn2.synthesize("hello there friend", n_timesteps=2, seed=0)
+    assert syn2.stats["bucket_retries"] >= 1
+    assert syn2.stats["calls"] == syn2.stats["bucket_retries"] + 1
+    # the retried result equals the directly-bucketed one
+    np.testing.assert_array_equal(r2.wav, r.wav)
+    assert base["bucket_retries"] == 0
