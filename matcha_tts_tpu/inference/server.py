@@ -155,8 +155,11 @@ class DynamicBatcher:
                     self.stats["max_batch_seen"], len(reqs))
                 self.stats["synth_seconds"] += dt
                 for r, res in zip(reqs, results):
-                    self.stats["audio_seconds"] += len(res.wav) / sr
-                    r.future.set_result(res.wav)
+                    # int16 PCM straight off the packed transfer: no
+                    # float round trip on the (single-core) host
+                    pcm = res.pcm16
+                    self.stats["audio_seconds"] += len(pcm) / sr
+                    r.future.set_result(pcm)
 
 
 class TTSServer:

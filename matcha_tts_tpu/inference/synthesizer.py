@@ -142,26 +142,34 @@ class SynthesisResult:
     attn: np.ndarray         # (T_x, T_y_valid)
     rtf_breakdown: dict
 
+    @property
+    def pcm16(self) -> np.ndarray:
+        """int16 PCM (same rounding as the device's packed path)."""
+        return np.round(np.clip(self.wav, -1.0, 1.0)
+                        * 32767.0).astype(np.int16)
+
 
 class LazySynthesisResult:
     """Deferred-transfer result: `.wav` costs exactly one device->host
     transfer (packed int16); `.mel`/`.attn` are fetched only on access."""
 
     def __init__(self, packed_dev, out_dev, row: int, batch: int,
-                 t_wav: int, hop: int):
+                 t_wav: int, hop: int, shared_cache: Optional[list] = None):
         self._packed = packed_dev
         self._out = out_dev
         self._row = row
         self._b = batch
         self._t_wav = t_wav
         self._hop = hop
-        self._host = None
+        # Rows of one batch share a single-element cache list so the packed
+        # buffer crosses device->host exactly once per batch, not per row.
+        self._host = shared_cache if shared_cache is not None else [None]
         self.rtf_breakdown: dict = {}
 
     def _fetch(self):
-        if self._host is None:
-            self._host = np.asarray(self._packed)
-        return self._host
+        if self._host[0] is None:
+            self._host[0] = np.asarray(self._packed)
+        return self._host[0]
 
     @property
     def y_length(self) -> int:
@@ -173,6 +181,15 @@ class LazySynthesisResult:
         n = self.y_length * self._hop
         start = self._row * self._t_wav
         return p[start : start + n].astype(np.float32) / 32767.0
+
+    @property
+    def pcm16(self) -> np.ndarray:
+        """int16 PCM, zero-copy slice of the packed transfer (serving
+        ships this straight into WAV/stream bytes — no float round trip)."""
+        p = self._fetch()
+        n = self.y_length * self._hop
+        start = self._row * self._t_wav
+        return p[start : start + n]
 
     @property
     def mel(self) -> np.ndarray:
@@ -444,12 +461,16 @@ class Synthesizer:
             # predict_frame_bucket runs it before every batched call
             encode_only(self.matcha_params, x, x_lengths, self.matcha_cfg,
                         length_scale=length_scale, spks=spks)
-            _synthesize_to_wav(
+            # warm the EXACT serving graph (packed transfer + in-graph
+            # denoiser) — the cache key includes the denoise static args
+            _synthesize_packed(
                 self.matcha_params, self.vocoder_params,
                 jax.random.PRNGKey(0), x, x_lengths,
                 self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
                 temperature, length_scale, spks=spks,
                 compute_dtype=self.compute_dtype,
+                bias_spec=self._bias_spec,
+                denoise_strength=self.denoise_strength,
                 noise_ids=jnp.asarray(np.zeros((b,), np.int32)),
             )
         return triples
@@ -548,22 +569,25 @@ class Synthesizer:
         `crossfade_ms > 0`, overlap-added under a linear crossfade.  With a
         `mesh`, chunks are synthesized as one batch sharded over the data
         axis (BASELINE config 5: long-form streaming across a pod);
-        otherwise sequentially on the local chip."""
+        otherwise as one *local* batch — sentences of a paragraph are
+        independent, so they amortize the MXU batch dim exactly like
+        `synthesize_batch` (sequential batch-1 ran ~10x slower per
+        paragraph, benchmarks/longform_bench.py)."""
         chunks = self.split_text(text)
         sr = self.matcha_cfg.audio.sample_rate
         wavs, mels, attns = [], [], []
         if mesh is not None and len(chunks) > 1:
             results = self.synthesize_batch_sharded(chunks, mesh, **kw)
-            for r in results:
-                wavs.append(r.wav)
-                mels.append(r.mel)
-                attns.append(r.attn)
+        elif len(chunks) > 1:
+            results = self.synthesize_batch(chunks, **kw)
         else:
-            for i, chunk in enumerate(chunks):
-                r = self.synthesize(chunk, seed=kw.pop("seed", 0) + i, **kw)
-                wavs.append(r.wav)
-                mels.append(r.mel)
-                attns.append(r.attn)
+            seed = kw.pop("seed", 0)
+            results = [self.synthesize(c, seed=seed + i, **kw)
+                       for i, c in enumerate(chunks)]
+        for r in results:
+            wavs.append(r.wav)
+            mels.append(r.mel)
+            attns.append(r.attn)
 
         if not wavs:
             wav = np.zeros(0, np.float32)
@@ -628,27 +652,23 @@ class Synthesizer:
             nid = jax.device_put(noise_ids, sharding)
             t_y = self.predict_frame_bucket(
                 xd, xld, length_scale, buckets=self.batch_frame_buckets)
-            out, wav = _synthesize_to_wav(
+            self.stats["calls"] += 1
+            packed, out = _synthesize_packed(
                 self.matcha_params, self.vocoder_params,
                 jax.random.PRNGKey(seed), xd, xld,
                 self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
                 temperature, length_scale,
                 compute_dtype=self.compute_dtype,
+                bias_spec=self._bias_spec,
+                denoise_strength=self.denoise_strength,
                 noise_ids=nid,
             )
-            wav_np = np.asarray(wav)
-            mel_np = np.asarray(out.mel)
-            attn_np = np.asarray(out.attn)
-            y_lens = np.asarray(out.y_lengths)
+            hop = self.hifi_cfg.total_upsample
+            cache: list = [None]
             for row, i in enumerate(idxs):
-                y_len = int(y_lens[row])
-                n_samples = y_len * self.hifi_cfg.total_upsample
-                results[i] = SynthesisResult(
-                    wav=wav_np[row, :n_samples],
-                    mel=mel_np[row, :, :y_len],
-                    attn=attn_np[row, :, :y_len],
-                    rtf_breakdown={},
-                )
+                results[i] = LazySynthesisResult(
+                    packed, out, row=row, batch=b, t_wav=t_y * hop,
+                    hop=hop, shared_cache=cache)
         return results  # type: ignore
 
     def synthesize_batch(self, texts: Sequence[str], n_timesteps: int = 10,
@@ -660,7 +680,13 @@ class Synthesizer:
         batch dim.  The batch dim is padded up to `batch_buckets` so
         arrival-driven sizes reuse compiled graphs (serving-critical).
         `spk` applies to the whole batch (the serving batcher groups
-        requests by speaker)."""
+        requests by speaker).
+
+        Runs the same fused packed graph as the single path — including
+        the in-graph denoiser when the Synthesizer was built with
+        `denoise_strength > 0` — and returns lazy results whose rows share
+        ONE packed int16 device->host transfer; mel/attention are fetched
+        only on access."""
         encoded = [self.tokenize(t) for t in texts]
         order = sorted(range(len(texts)), key=lambda i: len(encoded[i]))
         results: List[Optional[SynthesisResult]] = [None] * len(texts)
@@ -695,25 +721,21 @@ class Synthesizer:
                     xd, xld, length_scale, spks=spks,
                     buckets=self.batch_frame_buckets)
                 self._check_vocoder_memory(b, t_y)
-                out, wav = _synthesize_to_wav(
+                self.stats["calls"] += 1
+                packed, out = _synthesize_packed(
                     self.matcha_params, self.vocoder_params,
                     jax.random.PRNGKey(seed), xd, xld,
                     self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
                     temperature, length_scale, spks=spks,
                     compute_dtype=self.compute_dtype,
+                    bias_spec=self._bias_spec,
+                    denoise_strength=self.denoise_strength,
                     noise_ids=jnp.asarray(noise_ids),
                 )
-                wav_np = np.asarray(wav)
-                mel_np = np.asarray(out.mel)
-                attn_np = np.asarray(out.attn)
-                y_lens = np.asarray(out.y_lengths)
+                hop = self.hifi_cfg.total_upsample
+                cache: list = [None]
                 for row, i in enumerate(idxs):
-                    y_len = int(y_lens[row])
-                    n_samples = y_len * self.hifi_cfg.total_upsample
-                    results[i] = SynthesisResult(
-                        wav=wav_np[row, :n_samples],
-                        mel=mel_np[row, :, :y_len],
-                        attn=attn_np[row, :, :y_len],
-                        rtf_breakdown={},
-                    )
+                    results[i] = LazySynthesisResult(
+                        packed, out, row=row, batch=b, t_wav=t_y * hop,
+                        hop=hop, shared_cache=cache)
         return results  # type: ignore

@@ -10,8 +10,12 @@ import numpy as np
 
 def pcm16_bytes(audio: np.ndarray) -> bytes:
     """float32 [-1, 1] -> little-endian 16-bit PCM bytes (the one
-    quantization used by file writes, serving WAVs, and PCM streams)."""
-    audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+    quantization used by file writes, serving WAVs, and PCM streams).
+    int16 input (already-quantized device PCM) passes through unconverted."""
+    audio = np.asarray(audio)
+    if audio.dtype == np.int16:
+        return audio.reshape(-1).astype("<i2", copy=False).tobytes()
+    audio = audio.astype(np.float32).reshape(-1)
     return (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
 
 

@@ -86,6 +86,37 @@ def test_batch_synthesis():
         assert len(r.wav) > 0 and np.isfinite(r.wav).all()
 
 
+def test_batch_applies_denoiser_and_matches_single_path():
+    """The batched path must run the SAME fused graph as the single path —
+    including the in-graph denoiser (a batch of 1 at matched buckets is
+    bitwise identical), and the denoiser must actually change the audio."""
+    cfg, hcfg, mp, vp = tiny_models()
+    kw = dict(text_buckets=(32,), frame_buckets=(64,),
+              batch_frame_buckets=(64,), batch_buckets=(1,))
+    syn_den = Synthesizer(mp, cfg, vp, hcfg, denoise_strength=0.1, **kw)
+    syn_raw = Synthesizer(mp, cfg, vp, hcfg, **kw)
+    text = "denoise me please"
+    b = syn_den.synthesize_batch([text], n_timesteps=2, seed=4)[0]
+    s = syn_den.synthesize(text, n_timesteps=2, seed=4)
+    np.testing.assert_array_equal(b.wav, s.wav)
+    raw = syn_raw.synthesize_batch([text], n_timesteps=2, seed=4)[0]
+    assert np.abs(b.wav - raw.wav[: len(b.wav)]).max() > 1e-5, (
+        "denoise_strength had no effect on the batched path")
+
+
+def test_batch_rows_share_one_packed_transfer():
+    """All rows of one batched call share a single packed device->host
+    fetch (serving transfer-cost contract)."""
+    cfg, hcfg, mp, vp = tiny_models()
+    syn = Synthesizer(mp, cfg, vp, hcfg, text_buckets=(32,),
+                      frame_buckets=(64,), batch_frame_buckets=(64,))
+    rs = syn.synthesize_batch(["one two", "three four"], n_timesteps=2)
+    assert rs[0]._host is rs[1]._host  # shared cache list
+    assert rs[0]._host[0] is None      # nothing fetched yet
+    _ = rs[0].wav
+    assert rs[1]._host[0] is not None  # row 1 rides row 0's fetch
+
+
 def test_long_form_split():
     parts = Synthesizer.split_text(
         "First sentence. Second one! And|a pipe segment?"
@@ -116,9 +147,10 @@ def test_sharded_batch_synthesis():
     assert len(rs) == 10
     for r in rs:
         assert len(r.wav) > 0 and np.isfinite(r.wav).all()
-    # sharded result matches unsharded batch result
+    # sharded result matches unsharded batch result (up to one int16 PCM
+    # quantization step: XLA fusion order differs under sharding)
     rs1 = syn.synthesize_batch(texts[:2], n_timesteps=2)
-    np.testing.assert_allclose(rs[0].wav, rs1[0].wav, atol=2e-5)
+    np.testing.assert_allclose(rs[0].wav, rs1[0].wav, atol=3.2e-5)
 
 
 def test_long_form_crossfade():
@@ -263,8 +295,8 @@ def test_batched_noise_is_content_keyed():
     np.testing.assert_array_equal(r_ab[0].wav, r_ba[1].wav)
     np.testing.assert_array_equal(r_ab[0].wav, r_ac[0].wav)
     # different batch shape -> same noise, different XLA fusion order:
-    # equal to float tolerance
-    np.testing.assert_allclose(r_ab[0].wav, r_a[0].wav, atol=1e-7)
+    # equal up to one int16 PCM quantization step
+    np.testing.assert_allclose(r_ab[0].wav, r_a[0].wav, atol=1.01 / 32767.0)
 
 
 def test_fp32_large_batch_hbm_guard():
@@ -301,7 +333,7 @@ def test_warmup_grid_covers_all_compositions():
     # every (batch, text) pair reaches at least one frame bucket
     assert {(b, tx) for b, tx, _ in triples} == {
         (b, tx) for b in (1, 2, 4) for tx in (16, 32)}
-    before = synth_mod._synthesize_to_wav._cache_size()
+    before = synth_mod._synthesize_packed._cache_size()
     # compositions chosen to sweep batch buckets (1, 2, 4), both text
     # buckets, and duration-model-driven frame buckets
     syn.synthesize_batch(["hi"], n_timesteps=2)
@@ -309,7 +341,7 @@ def test_warmup_grid_covers_all_compositions():
                           "overflows the small text bucket"], n_timesteps=2)
     syn.synthesize_batch(["a", "bb", "ccc"], n_timesteps=2)
     syn.synthesize_batch(["w x y z"] * 4, n_timesteps=2)
-    assert synth_mod._synthesize_to_wav._cache_size() == before, (
+    assert synth_mod._synthesize_packed._cache_size() == before, (
         "batched traffic compiled a graph warmup_grid did not cover")
 
 
