@@ -276,10 +276,17 @@ def _shift(x: jnp.ndarray, off: int) -> jnp.ndarray:
 def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
                        *refs, specs, halo: int, slope: float, fp32: bool,
                        kstack: int, up_qs: tuple = (), hup: int = 0,
-                       post_qs: tuple = (), quant: bool = False):
+                       post_qs: tuple = (), quant: bool = False,
+                       stream_sched: tuple = ()):
     up_nq = len(up_qs)
     refs = list(refs)
     wpost_ref = bpost_ref = o2_ref = ws_ref = None
+    wbuf_ref = wsem_ref = None
+    if stream_sched:
+        # weight-streaming mode: w_ref stays in HBM; the per-conv mats DMA
+        # into a double-buffered VMEM scratch (last two scratch refs).
+        wsem_ref = refs.pop()
+        wbuf_ref = refs.pop()
     if quant:
         ws_ref = refs.pop(0)  # (n_convs, 128) per-output-lane weight scales
     if up_nq:
@@ -320,6 +327,21 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
     right_ok = jnp.logical_or(i < n - 1, rows < halo + tile)
     valid = jnp.logical_and(left_ok, right_ok).astype(jnp.float32)
 
+    n_convs = len(stream_sched)
+
+    def w_dma(ci, slot):
+        m0, nm = stream_sched[ci]
+        return pltpu.make_async_copy(
+            w_ref.at[m0 * width:(m0 + nm) * width],
+            wbuf_ref.at[slot, 0:nm * width],
+            wsem_ref.at[slot])
+
+    if stream_sched:
+        # warm the double buffer: convs 0 and 1 in flight before compute
+        w_dma(0, 0).start()
+        if n_convs > 1:
+            w_dma(1, 1).start()
+
     def quantize_act(src):
         """fp32 (ext, LANES) -> (int8 stored in act_ref, fp32 scalar scale).
 
@@ -349,6 +371,11 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
             acc = jnp.broadcast_to(b_ref[bias_idx].astype(jnp.float32),
                                    (ext, width))
             acc_ty = jnp.float32
+        if stream_sched:
+            # bias_idx IS the conv execution index (biases are stacked in
+            # the same order the chain runs)
+            slot, base = bias_idx % 2, stream_sched[bias_idx][0]
+            w_dma(bias_idx, slot).wait()
         for g0 in range(0, len(spec), kstack):
             grp = spec[g0:g0 + kstack]
             if len(grp) == 1:
@@ -357,7 +384,12 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
                 lhs = jnp.concatenate(
                     [_shift(act_ref[...], q) for q, _ in grp], axis=1)
             m0 = grp[0][1]
-            rhs = w_ref[m0 * width:(m0 + len(grp)) * width]
+            if stream_sched:
+                rhs = wbuf_ref[slot,
+                               (m0 - base) * width:
+                               (m0 - base + len(grp)) * width]
+            else:
+                rhs = w_ref[m0 * width:(m0 + len(grp)) * width]
             acc = acc + jnp.dot(lhs, rhs,
                                 precision=None if quant else prec,
                                 preferred_element_type=acc_ty)
@@ -367,6 +399,10 @@ def _mrf_packed_kernel(x_prev_ref, x_cur_ref, x_next_ref, w_ref, b_ref,
                            + b_ref[bias_idx].astype(jnp.float32))
         else:
             xt_ref[...] = acc
+        if stream_sched and bias_idx + 2 < n_convs:
+            # refill this slot for the conv after next; its latency hides
+            # behind the next conv's dots
+            w_dma(bias_idx + 2, slot).start()
 
     if up_nq:
         # Fused-upsample prologue: the refs hold the C_in-packed PRE-lrelu
@@ -450,10 +486,12 @@ def _tile_for_packed(tp: int, fp32: bool, c: int = 32) -> int:
     # fp32 doubles both the resident packed weights (up to 9.4 MB at C=64,
     # 8.1 MB at C=128) and the K-stack concat temporary, so its tiles must
     # shrink to stay inside the 16 MB scoped-VMEM budget.  The wide C=256
-    # case is int8-only (126 dense 256x256 mats = 8.25 MB of weights; bf16
-    # would not fit) with double-width scratch rows -> small tiles.
+    # case is int8-only and STREAMS its 8.25 MB of weights from HBM
+    # (double-buffered per-conv DMA), so only the double-width scratch
+    # rows bound the tile: cap 1024 keeps xb/xt/acc + the kstack concat
+    # temporary + the 1.4 MB weight double-buffer near ~13 MB.
     if c == 256:
-        cap = 256
+        cap = 1024
     else:
         cap = (256 if c == 128 else 512 if c == 64 else 1024) if fp32 else 2048
     t = cap
@@ -523,9 +561,22 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     assert halo <= tile, (halo, tile)
 
     xp = x.reshape(bsz, tp, width)
+
+    # Wide C=256 case: the packed weights (8.25 MB int8) cannot sit in
+    # VMEM next to useful tiles, so they stay in HBM and stream per conv
+    # through a double-buffered scratch; each conv's mats are contiguous
+    # rows of w (packer order), so the DMA schedule is static.
+    stream = quant and c == 256
+    stream_sched = ()
+    max_nm = 0
+    if stream:
+        conv_specs = [s for branch in specs for pair in branch for s in pair]
+        stream_sched = tuple((s[0][1], len(s)) for s in conv_specs)
+        max_nm = max(nm for _, nm in stream_sched)
+
     kernel = functools.partial(_mrf_packed_kernel, specs=specs, halo=halo,
                                slope=slope, fp32=fp32, kstack=kstack,
-                               quant=quant)
+                               quant=quant, stream_sched=stream_sched)
 
     def idx_prev(bi, ti):
         return (bi, jnp.maximum(ti - 1, 0), 0)
@@ -543,13 +594,25 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         pl.BlockSpec((1, tile, width), idx_prev, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile, width), idx_cur, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile, width), idx_next, memory_space=pltpu.VMEM),
-        full(w.shape, lambda bi, ti: (0, 0)),
+        (pl.BlockSpec(memory_space=pltpu.ANY) if stream
+         else full(w.shape, lambda bi, ti: (0, 0))),
         full(b.shape, lambda bi, ti: (0, 0)),
     ]
     operands = [xp, xp, xp, w, b]
     if quant:
         in_specs.append(full(ws.shape, lambda bi, ti: (0, 0)))
         operands.append(ws)
+    scratch_shapes = [
+        pltpu.VMEM((tile + 2 * halo, width), jnp.float32),   # xb
+        pltpu.VMEM((tile + 2 * halo, width), act_dtype),     # act
+        pltpu.VMEM((tile + 2 * halo, width), jnp.float32),   # xt
+        pltpu.VMEM((tile, width), jnp.float32),              # acc
+    ]
+    if stream:
+        scratch_shapes += [
+            pltpu.VMEM((2, max_nm * width, width), w.dtype),  # wbuf
+            pltpu.SemaphoreType.DMA((2,)),                    # wsem
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(bsz, n_tiles),
@@ -557,12 +620,7 @@ def mrf_packed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         out_specs=pl.BlockSpec((1, tile, width), idx_cur,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, tp, width), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tile + 2 * halo, width), jnp.float32),   # xb
-            pltpu.VMEM((tile + 2 * halo, width), act_dtype),     # act
-            pltpu.VMEM((tile + 2 * halo, width), jnp.float32),   # xt
-            pltpu.VMEM((tile, width), jnp.float32),              # acc
-        ],
+        scratch_shapes=scratch_shapes,
         # None = auto: interpret on the CPU backend.  Explicit False forces
         # Mosaic lowering (used by the TPU cross-lowering regression tests).
         interpret=(jax.default_backend() == "cpu" if interpret is None

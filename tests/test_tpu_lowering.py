@@ -131,6 +131,12 @@ def test_mrf_wide_c256_int8_lowers_for_tpu():
     txt = lower_tpu(
         lambda xx: mrf_packed(xx, w, b, ws, tile=128, interpret=False), x)
     _assert_mosaic(txt, 1)
+    # production streaming shape: tile=1024 with the double-buffered
+    # per-conv weight DMA pipeline (weights in HBM, not VMEM-resident)
+    x = jax.ShapeDtypeStruct((1, 2048, c), jnp.bfloat16)
+    txt = lower_tpu(
+        lambda xx: mrf_packed(xx, w, b, ws, interpret=False), x)
+    _assert_mosaic(txt, 1)
 
 
 def test_mrf_packed_up_int8_lowers_for_tpu():
