@@ -38,15 +38,26 @@ import jax.numpy as jnp
 import numpy as np
 
 V5E_PEAK_BF16 = 197e12  # TFLOP/s, one v5e chip
+V5E_HBM_BW = 819e9      # bytes/s, one v5e chip
 
 
-def graph_flops(fn, *args) -> float:
-    """XLA-estimated FLOPs of one execution of `fn(*args)`."""
+def graph_costs(fn, *args) -> dict:
+    """XLA-estimated FLOPs + bytes accessed of one execution of `fn(*args)`.
+
+    Bytes come from the CPU lowering's cost analysis — an approximation of
+    TPU HBM traffic (fusion decisions differ), good enough to say which
+    side of the roofline a graph sits on."""
     compiled = jax.jit(fn).lower(*args).compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
-    return float(ca["flops"])
+    return {"flops": float(ca["flops"]),
+            "bytes": float(ca.get("bytes accessed", 0.0))}
+
+
+def graph_flops(fn, *args) -> float:
+    """XLA-estimated FLOPs of one execution of `fn(*args)`."""
+    return graph_costs(fn, *args)["flops"]
 
 
 def main(argv=None):
@@ -80,20 +91,28 @@ def main(argv=None):
     mask = jnp.ones((1, t_y), jnp.float32)
     tt = jnp.asarray([0.5], jnp.float32)
 
-    flops = {}
-    flops["encoder"] = graph_flops(
+    costs = {}
+    costs["encoder"] = graph_costs(
         lambda x, xl: text_encoder(params["encoder"], x, xl, cfg.encoder,
                                    cfg.duration_predictor)[0], x, xl)
-    flops["unet_pass"] = graph_flops(
+    costs["unet_pass"] = graph_costs(
         lambda z, m, mu, t: unet_decoder(
             params["decoder"]["estimator"], z, m, mu, t, cfg.decoder),
         mel, mask, mel, tt)
-    flops["vocoder"] = graph_flops(
+    costs["vocoder"] = graph_costs(
         lambda m: hifigan.generator(voc, m, hcfg), mel)
-    flops[f"full_nfe{nfe}"] = graph_flops(
+    costs[f"full_nfe{nfe}"] = graph_costs(
         lambda key: _synthesize_to_wav.__wrapped__(
             params, voc, key, x, xl, cfg, hcfg, nfe, t_y, 0.667, 1.0,
             None, "bfloat16")[1], jax.random.PRNGKey(0))
+
+    from matcha_tts_tpu.config import VocosConfig
+    from matcha_tts_tpu.models import vocos as vocos_mod
+
+    vcfg = VocosConfig()
+    vparams = vocos_mod.init_vocos(jax.random.PRNGKey(2), vcfg)
+    costs["vocos"] = graph_costs(
+        lambda m: vocos_mod.generate(vparams, m, vcfg), mel)
 
     tcfg = TrainConfig(batch_size=1)
     state = create_train_state(params, tcfg)
@@ -103,13 +122,18 @@ def main(argv=None):
     }
     # return the FULL (state, metrics) so XLA cannot dead-code-eliminate
     # the backward pass + optimizer update
-    flops["train_step"] = graph_flops(
+    costs["train_step"] = graph_costs(
         lambda s, k, b: train_step(s, k, b, cfg, tcfg),
         state, jax.random.PRNGKey(1), batch)
 
     out = {"shapes": {"tokens": t_x, "frames": t_y, "batch": 1},
-           "flops": {k: round(v) for k, v in flops.items()},
-           "gflops": {k: round(v / 1e9, 2) for k, v in flops.items()}}
+           "gflops": {k: round(v["flops"] / 1e9, 2) for k, v in costs.items()},
+           "mbytes": {k: round(v["bytes"] / 1e6, 1) for k, v in costs.items()},
+           # FLOPs per HBM byte; the v5e ridge point is peak/bw ≈ 240.
+           # Below it a graph is bandwidth-bound even at perfect overlap.
+           "arith_intensity": {
+               k: round(v["flops"] / v["bytes"], 1)
+               for k, v in costs.items() if v["bytes"]}}
 
     if args.times_json:
         times = json.loads(args.times_json)
@@ -120,12 +144,15 @@ def main(argv=None):
             if "_b" in name:  # e.g. train_step_b32, full_nfe10_b8
                 base, b = name.rsplit("_b", 1)
                 batch = int(b)
-            if base not in flops:
+            if base not in costs:
                 continue
-            achieved = flops[base] * batch / (ms / 1e3)
+            achieved = costs[base]["flops"] * batch / (ms / 1e3)
+            bw = costs[base]["bytes"] * batch / (ms / 1e3)
             mfu[name] = {"ms": ms,
                          "tflops_per_s": round(achieved / 1e12, 2),
-                         "mfu_vs_bf16_peak": round(achieved / V5E_PEAK_BF16, 4)}
+                         "mfu_vs_bf16_peak": round(achieved / V5E_PEAK_BF16, 4),
+                         "hbm_gb_per_s": round(bw / 1e9, 1),
+                         "hbm_util": round(bw / V5E_HBM_BW, 4)}
         out["mfu"] = mfu
 
     print(json.dumps(out))

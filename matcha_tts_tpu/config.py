@@ -158,6 +158,39 @@ class HiFiGANConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class VocosConfig:
+    """Frame-rate iSTFT vocoder (beyond-parity vocoder family).
+
+    A ConvNeXt backbone over mel frames followed by an iSTFT head that
+    predicts STFT magnitude + phase — the Vocos architecture (Siuzdak,
+    2023, arXiv:2306.00814), chosen here because it is the TPU-shaped
+    answer to HiFi-GAN: every op is a wide (dim/intermediate_dim) matmul
+    at FRAME rate (~86 Hz) instead of dilated convs at WAV rate (22 kHz),
+    cutting vocoder FLOPs ~23x (20.7 vs 472.8 GF per 768-frame batch-1
+    pass) while keeping the MXU dense.  Drop-in for HiFiGANConfig across
+    the Synthesizer / GAN trainer / denoiser (same `num_mels`,
+    `total_upsample`, `sampling_rate` surface).
+    """
+
+    num_mels: int = 80
+    dim: int = 512
+    intermediate_dim: int = 1536
+    num_layers: int = 8
+    kernel_size: int = 7  # depthwise conv width (ConvNeXt)
+    n_fft: int = 1024
+    hop_length: int = 256
+    sampling_rate: int = 22050
+    # exp(magnitude) is clipped to this ceiling (numerical guard on the
+    # untrained / early-training head; trained magnitudes sit far below)
+    mag_clip: float = 1e2
+
+    @property
+    def total_upsample(self) -> int:
+        # frames -> samples ratio, the surface the inference layer uses
+        return self.hop_length
+
+
+@dataclasses.dataclass(frozen=True)
 class MatchaConfig:
     """Top-level acoustic model config (reference: model.py:1173-1232)."""
 

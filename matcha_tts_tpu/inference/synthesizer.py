@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
-from matcha_tts_tpu.models import hifigan as hifigan_mod
+from matcha_tts_tpu.models import vocoder as vocoder_mod
 from matcha_tts_tpu.models.matcha import encode_only, synthesize
 from matcha_tts_tpu.text.tokenizer import encode_text
 
@@ -64,16 +64,17 @@ def _synthesize_to_wav(
     compute_dtype: str = "float32",
     noise_ids=None,
 ):
-    """One fused graph: encoder -> duration -> Euler CFM -> HiFi-GAN."""
+    """One fused graph: encoder -> duration -> Euler CFM -> vocoder
+    (HiFi-GAN or Vocos, dispatched on the static config type)."""
     out = synthesize(matcha_params, key, x, x_lengths, matcha_cfg,
                      n_timesteps=n_timesteps, t_y_max=t_y_max,
                      temperature=temperature, length_scale=length_scale,
                      spks=spks, compute_dtype=compute_dtype,
                      noise_ids=noise_ids)
     mel_btc = out.mel.transpose(0, 2, 1)  # (B, T, n_mels)
-    wav = hifigan_mod.generator(vocoder_params,
-                                mel_btc.astype(jnp.dtype(compute_dtype)),
-                                hifi_cfg)
+    wav = vocoder_mod.generate(vocoder_params,
+                               mel_btc.astype(jnp.dtype(compute_dtype)),
+                               hifi_cfg)
     wav = jnp.clip(wav.astype(jnp.float32), -1.0, 1.0)
     return out, wav
 
@@ -275,6 +276,11 @@ class Synthesizer:
         throughput mode; fp32 batched synthesis overflows v5e HBM around
         batch 32 x 768 frames (docs/RESULTS.md)."""
         if self.compute_dtype != "float32":
+            return
+        if not isinstance(self.hifi_cfg, HiFiGANConfig):
+            # Vocos activations live at frame rate (~hop x smaller than
+            # HiFi-GAN's wav-rate pyramid); no batch regime in reach of
+            # the buckets approaches the HBM budget.
             return
         hop = self.hifi_cfg.total_upsample
         deepest_ch = self.hifi_cfg.upsample_initial_channel // (

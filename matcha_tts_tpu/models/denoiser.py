@@ -14,7 +14,7 @@ import dataclasses
 import jax.numpy as jnp
 
 from matcha_tts_tpu.config import HiFiGANConfig
-from matcha_tts_tpu.models.hifigan import generator
+from matcha_tts_tpu.models.vocoder import generate as _vocoder_generate
 from matcha_tts_tpu.ops.stft import istft, stft_magnitude_and_phase
 
 
@@ -44,8 +44,9 @@ def make_denoiser(vocoder_params, cfg: HiFiGANConfig, filter_length: int = 1024,
     # spectrum is therefore an fp32/XLA approximation of the (possibly
     # bf16/Pallas) serving path — the gap is far below the subtraction
     # strengths in use (2.5e-4 .. 5e-4).
-    cfg_xla = dataclasses.replace(cfg, mrf_kernel="xla", use_pallas=False)
-    bias_audio = generator(vocoder_params, mel, cfg_xla)[0]  # (T,)
+    if isinstance(cfg, HiFiGANConfig):
+        cfg = dataclasses.replace(cfg, mrf_kernel="xla", use_pallas=False)
+    bias_audio = _vocoder_generate(vocoder_params, mel, cfg)[0]  # (T,)
     hop = int(filter_length / n_overlap)
     mag, _ = stft_magnitude_and_phase(bias_audio, filter_length, hop, win_length,
                                       center=True)

@@ -109,15 +109,16 @@ def init_embedding(key, n_vocab: int, dim: int, std: float, dtype=jnp.float32):
 
 
 def conv1d(params, x: jnp.ndarray, stride: int = 1, padding: int = 0,
-           dilation: int = 1) -> jnp.ndarray:
+           dilation: int = 1, groups: int = 1) -> jnp.ndarray:
     """1D convolution, torch.nn.Conv1d semantics, (B, T, C) layout.
 
-    When `x` is bf16 the MXU runs bf16 multiplies with fp32 internal
-    accumulation — the TPU equivalent of the reference's "16-mixed" AMP
-    (train_standalone.py:764).  fp32 inputs request an explicit fp32
-    result type; bf16 inputs do not (lax.conv's transpose rule cannot
-    differentiate a preferred_element_type upcast, and the MXU
-    accumulates fp32 internally either way)."""
+    `groups=C` with a (W, 1, C) weight is a depthwise conv (torch
+    Conv1d(groups=C)).  When `x` is bf16 the MXU runs bf16 multiplies
+    with fp32 internal accumulation — the TPU equivalent of the
+    reference's "16-mixed" AMP (train_standalone.py:764).  fp32 inputs
+    request an explicit fp32 result type; bf16 inputs do not (lax.conv's
+    transpose rule cannot differentiate a preferred_element_type upcast,
+    and the MXU accumulates fp32 internally either way)."""
     pet = jnp.float32 if x.dtype == jnp.float32 else None
     out = jax.lax.conv_general_dilated(
         x,
@@ -126,6 +127,7 @@ def conv1d(params, x: jnp.ndarray, stride: int = 1, padding: int = 0,
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
         preferred_element_type=pet,
     )
     out = out.astype(x.dtype)

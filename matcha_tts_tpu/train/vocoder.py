@@ -22,6 +22,7 @@ import optax
 
 from matcha_tts_tpu.config import AudioConfig, HiFiGANConfig
 from matcha_tts_tpu.models import hifigan
+from matcha_tts_tpu.models import vocoder as vocoder_mod
 from matcha_tts_tpu.ops.stft import log_mel_spectrogram
 from matcha_tts_tpu.train import weight_norm as wn
 
@@ -50,7 +51,8 @@ def create_gan_state(key, hcfg: HiFiGANConfig, learning_rate: float = 2e-4,
     pass matching `weight_norm` to the step functions.  `gen_params` seeds
     fine-tuning from an existing (plain) generator tree."""
     kg, kp, ks = jax.random.split(key, 3)
-    gen = gen_params if gen_params is not None else hifigan.init_generator(kg, hcfg)
+    gen = (gen_params if gen_params is not None
+           else vocoder_mod.init_vocoder(kg, hcfg))
     disc = {"mpd": hifigan.init_mpd(kp), "msd": hifigan.init_msd(ks)}
     if use_weight_norm:
         gen = wn.decompose(gen)
@@ -89,11 +91,13 @@ def _check_wn(state: GanTrainState, weight_norm: bool):
             f"weight_norm={weight_norm}")
 
 
-def _xla_generator_cfg(hcfg: HiFiGANConfig) -> HiFiGANConfig:
+def _xla_generator_cfg(hcfg):
     """Training differentiates through the generator; the packed MRF
     Pallas kernels have no VJP, so the train steps pin the XLA conv path
     (batched GAN training is MXU-bound — the kernels target batch-1
-    latency anyway)."""
+    latency anyway).  Vocos configs pass through (pure XLA already)."""
+    if not isinstance(hcfg, HiFiGANConfig):
+        return hcfg
     if getattr(hcfg, "mrf_kernel", "xla") == "xla" and not hcfg.use_pallas:
         return hcfg
     return dataclasses.replace(hcfg, mrf_kernel="xla", use_pallas=False)
@@ -126,7 +130,7 @@ def gan_disc_step(state: GanTrainState, audio: jnp.ndarray,
     hcfg = _xla_generator_cfg(hcfg)
     gen_plain = wn.fold(state.gen_params) if weight_norm else state.gen_params
     mel = _mel(audio, acfg).transpose(0, 2, 1)
-    fake = hifigan.generator(gen_plain, mel, hcfg)
+    fake = vocoder_mod.generate(gen_plain, mel, hcfg)
     fake = jax.lax.stop_gradient(fake)
     n = min(audio.shape[-1], fake.shape[-1])
 
@@ -164,7 +168,8 @@ def gan_gen_step(state: GanTrainState, audio: jnp.ndarray,
     def loss_fn(gen_params):
         if weight_norm:
             gen_params = wn.fold(gen_params)
-        fake = hifigan.generator(gen_params, mel_real.transpose(0, 2, 1), hcfg)
+        fake = vocoder_mod.generate(gen_params, mel_real.transpose(0, 2, 1),
+                                    hcfg)
         n = min(audio.shape[-1], fake.shape[-1])
         mel_fake = _mel_full_band(fake[..., :n], acfg)
         mel_loss = jnp.mean(jnp.abs(

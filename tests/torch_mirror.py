@@ -300,3 +300,44 @@ def hifigan_generator(p, mel, cfg):
     x = F.leaky_relu(x)  # default slope 0.01 (models.py:193)
     x = conv1d(p["conv_post"], x, padding=3)
     return torch.tanh(x)
+
+
+# --------------------------------------------------------------------------
+# Vocos vocoder (beyond-parity family; oracle for matcha_tts_tpu/models/vocos.py)
+# --------------------------------------------------------------------------
+
+
+def _vocos_ln(p, x, eps=1e-6):
+    return F.layer_norm(x, (x.shape[-1],), t_(p["gamma"]), t_(p["beta"]), eps)
+
+
+def vocos_generate(p, mel, cfg):
+    """mel: (B, num_mels, T) -> (B, T*hop) audio.
+
+    Independent restatement of the Vocos forward (ConvNeXt backbone +
+    exp-magnitude/phase iSTFT head) using torch ops INCLUDING torch.istft —
+    so the test also cross-checks our reshape-OLA iSTFT and the
+    last-frame edge-replication that fixes the sample count at T*hop.
+    """
+    pad = cfg.kernel_size // 2
+    x = conv1d(p["embed"], mel, padding=pad).transpose(1, 2)  # (B, T, D)
+    x = _vocos_ln(p["norm_pre"], x)
+    for blk in p["blocks"]:
+        r = x
+        h = F.conv1d(x.transpose(1, 2), conv_w(blk["dwconv"]),
+                     t_(blk["dwconv"]["bias"]), padding=pad,
+                     groups=cfg.dim).transpose(1, 2)
+        h = _vocos_ln(blk["norm"], h)
+        h = linear(blk["pw1"], h)
+        h = F.gelu(h)
+        h = linear(blk["pw2"], h)
+        x = r + t_(blk["gamma"]) * h
+    x = _vocos_ln(p["norm_post"], x)
+    h = linear(p["head"], x)  # (B, T, n_fft + 2)
+    n_freqs = cfg.n_fft // 2 + 1
+    mag = torch.exp(h[..., :n_freqs]).clamp(max=cfg.mag_clip)
+    phase = h[..., n_freqs:]
+    spec = (mag * torch.exp(1j * phase)).transpose(1, 2)  # (B, F, T)
+    spec = torch.cat([spec, spec[..., -1:]], dim=-1)  # edge-replicate
+    return torch.istft(spec, cfg.n_fft, cfg.hop_length, cfg.n_fft,
+                       torch.hann_window(cfg.n_fft), center=True)
