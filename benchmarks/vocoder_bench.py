@@ -38,14 +38,24 @@ def main(argv=None):
                    help="MRF implementation (HiFiGANConfig.mrf_kernel)")
     p.add_argument("--dtype", default="float32",
                    choices=("float32", "bfloat16"))
+    p.add_argument("--family", default="hifigan",
+                   choices=("hifigan", "vocos"),
+                   help="vocoder family (models/vocoder.py dispatch)")
     args = p.parse_args(argv)
 
-    from matcha_tts_tpu.config import HiFiGANConfig
-    from matcha_tts_tpu.models import hifigan
-    from matcha_tts_tpu.models.denoiser import denoise, make_denoiser
+    from matcha_tts_tpu.config import HiFiGANConfig, VocosConfig
+    from matcha_tts_tpu.models import vocoder as vocoder_mod
+    from matcha_tts_tpu.models.denoiser import (DenoiserState, denoise,
+                                                make_denoiser)
 
-    hcfg = HiFiGANConfig(mrf_kernel=args.mrf)
-    vp = hifigan.init_generator(jax.random.PRNGKey(0), hcfg)
+    def make_state(bias_spec):
+        return DenoiserState(bias_spec)
+
+    if args.family == "vocos":
+        hcfg = VocosConfig()
+    else:
+        hcfg = HiFiGANConfig(mrf_kernel=args.mrf)
+    vp = vocoder_mod.init_vocoder(jax.random.PRNGKey(0), hcfg)
     state = make_denoiser(vp, hcfg)
     dtype = jnp.dtype(args.dtype)
 
@@ -56,44 +66,47 @@ def main(argv=None):
     sr = hcfg.sampling_rate
     audio_sec = b * t * hcfg.total_upsample / sr
 
+    # params/mel travel as explicit jit arguments: closure-captured device
+    # arrays can be inlined as MLIR constants, whose lowering needs a
+    # device->host fetch the axon TPU plugin cannot do (UNIMPLEMENTED).
     @jax.jit
-    def voc_chain(key):
+    def voc_chain(vp, mel0, key):
         def body(i, carry):
             acc, key = carry
             key = jax.random.fold_in(key, i)
             noise = jax.random.normal(key, mel0.shape, mel0.dtype) * 0.01
-            wav = hifigan.generator(vp, mel0 + noise, hcfg)
+            wav = vocoder_mod.generate(vp, mel0 + noise, hcfg)
             return acc + jnp.sum(wav), key
         acc, _ = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0), key))
         return acc
 
-    bias = state.bias_spec
-
     @jax.jit
-    def voc_denoise_chain(key):
+    def voc_denoise_chain(vp, bias_spec, mel0, key):
+        state = make_state(bias_spec)
         def body(i, carry):
             acc, key = carry
             key = jax.random.fold_in(key, i)
             noise = jax.random.normal(key, mel0.shape, mel0.dtype) * 0.01
-            wav = hifigan.generator(vp, mel0 + noise, hcfg)
+            wav = vocoder_mod.generate(vp, mel0 + noise, hcfg)
             den = denoise(state, wav, strength=args.denoise)
             return acc + jnp.sum(den), key
         acc, _ = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0), key))
         return acc
 
-    def timed(f):
-        float(f(jax.random.PRNGKey(0)))
+    def timed(f, *fargs):
+        float(f(*fargs, jax.random.PRNGKey(0)))
         ts = []
         for s in range(1, 4):
             t0 = time.perf_counter()
-            float(f(jax.random.PRNGKey(s)))
+            float(f(*fargs, jax.random.PRNGKey(s)))
             ts.append((time.perf_counter() - t0) / CHAIN)
         return float(np.median(ts))
 
-    t_voc = timed(voc_chain)
-    t_den = timed(voc_denoise_chain)
+    t_voc = timed(voc_chain, vp, mel0)
+    t_den = timed(voc_denoise_chain, vp, state.bias_spec, mel0)
     rec = {
         "metric": "vocoder_audio_sec_per_sec",
+        "family": args.family,
         "batch": b, "frames": t, "audio_sec": audio_sec,
         "vocoder_ms": t_voc * 1e3,
         "vocoder_audio_sec_per_sec": audio_sec / t_voc,

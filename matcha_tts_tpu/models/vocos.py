@@ -15,9 +15,10 @@ upsampling pyramid, and the iSTFT is the already-fast reshape overlap-add
 
 Interface contract (shared with models/hifigan.py::generator):
   generate(params, mel, cfg): (B, T, num_mels) -> (B, T * hop) float audio.
-Trains under the same MPD/MSD GAN recipe (train/vocoder.py) — Vocos'
-paper pairing is MPD+MRD; MSD substitutes for MRD here, documented
-deviation.
+Trains under the MPD/MSD GAN recipe (train/vocoder.py) or — the paper's
+actual pairing — MPD + the multi-resolution spectrogram discriminator
+implemented at the bottom of this module
+(create_gan_state(discriminators=("mpd", "mrd"))).
 """
 
 from __future__ import annotations
@@ -127,3 +128,87 @@ def generate(params, mel: jnp.ndarray, cfg: VocosConfig) -> jnp.ndarray:
     mag = jnp.concatenate([mag, mag[..., -1:]], axis=-1)
     phase = jnp.concatenate([phase, phase[..., -1:]], axis=-1)
     return istft(mag, phase, cfg.n_fft, cfg.hop_length, cfg.n_fft)
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution spectrogram discriminator (MRD)
+#
+# The GAN pairing from UnivNet (Jang et al. 2021, arXiv:2106.07889) that the
+# Vocos recipe trains against (MPD + MRD).  Each sub-discriminator runs a
+# small 2D conv stack over the linear magnitude spectrogram of one STFT
+# resolution; three resolutions cover short/medium/long analysis windows.
+# Returns the same (real_logits, fake_logits, real_fmaps, fake_fmaps) quad
+# as models/hifigan.py::mpd/msd so the trainer's losses apply unchanged.
+# ---------------------------------------------------------------------------
+
+# (n_fft, hop_length, win_length) per sub-discriminator (UnivNet table 2)
+MRD_RESOLUTIONS = ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
+
+# (kh, kw, in, out, stride_w): time-kernel 3, freq-kernel 9, stride on the
+# frequency axis (F = n_fft/2+1 is the long axis at speech segment sizes)
+_MRD_SPEC = (
+    (3, 9, 1, 32, 1),
+    (3, 9, 32, 32, 2),
+    (3, 9, 32, 32, 2),
+    (3, 9, 32, 32, 2),
+    (3, 3, 32, 32, 1),
+)
+
+
+def init_discriminator_r(key):
+    keys = jax.random.split(key, len(_MRD_SPEC) + 1)
+    convs = []
+    for k, (kh, kw, ic, oc, _) in zip(keys, _MRD_SPEC):
+        convs.append({
+            "weight": nn.kaiming_uniform(k, (kh, kw, ic, oc), ic * kh * kw),
+            "bias": jnp.zeros((oc,)),
+        })
+    conv_post = {
+        "weight": nn.kaiming_uniform(keys[-1], (3, 3, 32, 1), 32 * 9),
+        "bias": jnp.zeros((1,)),
+    }
+    return {"convs": convs, "conv_post": conv_post}
+
+
+def init_mrd(key):
+    keys = jax.random.split(key, len(MRD_RESOLUTIONS))
+    return {"discriminators": [init_discriminator_r(k) for k in keys]}
+
+
+def _conv2d(p, x, stride=(1, 1), padding=((0, 0), (0, 0))):
+    out = jax.lax.conv_general_dilated(
+        x, p["weight"], window_strides=stride, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + p["bias"]
+
+
+def discriminator_r(params, audio: jnp.ndarray, resolution):
+    """(B, T) audio -> (logits, fmaps) on one STFT resolution's magnitude."""
+    from matcha_tts_tpu.ops.stft import stft_magnitude_and_phase
+
+    n_fft, hop, win = resolution
+    mag, _ = stft_magnitude_and_phase(audio.astype(jnp.float32), n_fft, hop,
+                                      win, center=True)
+    x = jnp.moveaxis(mag, -2, -1)[..., None]  # (B, n_frames, n_freqs, 1)
+    fmap = []
+    for conv, (kh, kw, _, _, sw) in zip(params["convs"], _MRD_SPEC):
+        x = _conv2d(conv, x, stride=(1, sw),
+                    padding=((kh // 2, kh // 2), (kw // 2, kw // 2)))
+        x = jax.nn.leaky_relu(x, 0.1)
+        fmap.append(x)
+    x = _conv2d(params["conv_post"], x, padding=((1, 1), (1, 1)))
+    fmap.append(x)
+    return x.reshape(x.shape[0], -1), fmap
+
+
+def mrd(params, y: jnp.ndarray, y_hat: jnp.ndarray):
+    """Same output quad as hifigan.mpd/msd (real/fake logits + fmaps)."""
+    outs_r, outs_g, fmaps_r, fmaps_g = [], [], [], []
+    for d, res in zip(params["discriminators"], MRD_RESOLUTIONS):
+        lr, fr = discriminator_r(d, y, res)
+        lg, fg = discriminator_r(d, y_hat, res)
+        outs_r.append(lr)
+        outs_g.append(lg)
+        fmaps_r.append(fr)
+        fmaps_g.append(fg)
+    return outs_r, outs_g, fmaps_r, fmaps_g

@@ -3,7 +3,9 @@
 from matcha_tts_tpu.params.convert import (  # noqa: F401
     convert_hifigan,
     convert_matcha,
+    convert_vocos,
     export_matcha,
+    export_vocos,
     fold_weight_norm,
     load_torch_state_dict,
 )

@@ -427,3 +427,71 @@ def convert_hifigan(sd: StateDict, cfg: HiFiGANConfig) -> dict:
                 "convs": [_conv(sd, f"resblocks.{i}.convs.{j}") for j in range(n_d)],
             })
     return params
+
+
+# ---------------------------------------------------------------------------
+# Vocos tree (beyond-parity vocoder family, models/vocos.py)
+#
+# Key naming follows the public Vocos release (charactr/vocos: VocosBackbone
+# in models.py + ISTFTHead in heads.py) so its published checkpoints convert
+# directly:  backbone.embed / backbone.norm / backbone.convnext.{i}.{dwconv,
+# norm,pwconv1,pwconv2,gamma} / backbone.final_layer_norm / head.out.
+# ---------------------------------------------------------------------------
+
+
+def convert_vocos(sd: StateDict, cfg) -> dict:
+    """Official Vocos state dict -> our tree (models/vocos.py layout).
+
+    Feature-extractor / iSTFT-window buffers in the checkpoint are ignored
+    (the window is rebuilt from cfg.n_fft).  The head's (mag | phase)
+    half-split matches the official chunk(2) ordering.
+    """
+    n_layers = getattr(cfg, "num_layers", None)
+    if n_layers is None:
+        n_layers = len({k.split(".")[2] for k in sd
+                        if k.startswith("backbone.convnext.")})
+    params = {
+        "embed": _conv(sd, "backbone.embed"),
+        "norm_pre": _norm_wb(sd, "backbone.norm"),
+        "norm_post": _norm_wb(sd, "backbone.final_layer_norm"),
+        "head": _lin(sd, "head.out"),
+        "blocks": [],
+    }
+    for i in range(n_layers):
+        p = f"backbone.convnext.{i}"
+        params["blocks"].append({
+            "dwconv": _conv(sd, f"{p}.dwconv"),
+            "norm": _norm_wb(sd, f"{p}.norm"),
+            "pw1": _lin(sd, f"{p}.pwconv1"),
+            "pw2": _lin(sd, f"{p}.pwconv2"),
+            "gamma": sd[f"{p}.gamma"],
+        })
+    return params
+
+
+def export_vocos(params: dict) -> StateDict:
+    """Our tree -> official Vocos state-dict naming (inverse of
+    `convert_vocos`; round-trip tested in tests/test_convert.py)."""
+    np_ = lambda a: np.asarray(a)
+    sd = {
+        "backbone.embed.weight": conv_w_inv(np_(params["embed"]["weight"])),
+        "backbone.embed.bias": np_(params["embed"]["bias"]),
+        "backbone.norm.weight": np_(params["norm_pre"]["gamma"]),
+        "backbone.norm.bias": np_(params["norm_pre"]["beta"]),
+        "backbone.final_layer_norm.weight": np_(params["norm_post"]["gamma"]),
+        "backbone.final_layer_norm.bias": np_(params["norm_post"]["beta"]),
+        "head.out.weight": np_(params["head"]["weight"]).T.copy(),
+        "head.out.bias": np_(params["head"]["bias"]),
+    }
+    for i, blk in enumerate(params["blocks"]):
+        p = f"backbone.convnext.{i}"
+        sd[f"{p}.dwconv.weight"] = conv_w_inv(np_(blk["dwconv"]["weight"]))
+        sd[f"{p}.dwconv.bias"] = np_(blk["dwconv"]["bias"])
+        sd[f"{p}.norm.weight"] = np_(blk["norm"]["gamma"])
+        sd[f"{p}.norm.bias"] = np_(blk["norm"]["beta"])
+        sd[f"{p}.pwconv1.weight"] = np_(blk["pw1"]["weight"]).T.copy()
+        sd[f"{p}.pwconv1.bias"] = np_(blk["pw1"]["bias"])
+        sd[f"{p}.pwconv2.weight"] = np_(blk["pw2"]["weight"]).T.copy()
+        sd[f"{p}.pwconv2.bias"] = np_(blk["pw2"]["bias"])
+        sd[f"{p}.gamma"] = np_(blk["gamma"])
+    return sd

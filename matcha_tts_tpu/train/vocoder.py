@@ -30,7 +30,7 @@ from matcha_tts_tpu.train import weight_norm as wn
 class GanTrainState(NamedTuple):
     step: jnp.ndarray
     gen_params: dict
-    disc_params: dict  # {"mpd": ..., "msd": ...}
+    disc_params: dict  # one entry per family, e.g. {"mpd": ..., "msd": ...}
     gen_opt: optax.OptState
     disc_opt: optax.OptState
 
@@ -43,17 +43,47 @@ def make_gan_optimizers(learning_rate: float = 2e-4, b1: float = 0.8,
     return optax.adam(sched, b1=b1, b2=b2), optax.adam(sched, b1=b1, b2=b2)
 
 
+def _disc_registry():
+    from matcha_tts_tpu.models import vocos
+
+    return {
+        "mpd": (hifigan.init_mpd, hifigan.mpd),
+        "msd": (hifigan.init_msd, hifigan.msd),
+        "mrd": (vocos.init_mrd, vocos.mrd),
+    }
+
+
+def _disc_forward_all(disc_params: dict, y: jnp.ndarray, y_hat: jnp.ndarray):
+    """Run every discriminator family present in the state (dict keys are
+    static pytree structure, so the set of families is baked at trace)."""
+    reg = _disc_registry()
+    return {name: reg[name][1](disc_params[name], y, y_hat)
+            for name in sorted(disc_params)}
+
+
 def create_gan_state(key, hcfg: HiFiGANConfig, learning_rate: float = 2e-4,
                      use_weight_norm: bool = False,
-                     gen_params=None) -> GanTrainState:
+                     gen_params=None,
+                     discriminators: Tuple[str, ...] = ("mpd", "msd"),
+                     ) -> GanTrainState:
     """`use_weight_norm=True` stores generator and discriminators in the
     reference's (v, g) training parameterization (train/weight_norm.py);
     pass matching `weight_norm` to the step functions.  `gen_params` seeds
-    fine-tuning from an existing (plain) generator tree."""
-    kg, kp, ks = jax.random.split(key, 3)
+    fine-tuning from an existing (plain) generator tree.
+
+    `discriminators` picks the adversary families: ("mpd", "msd") is the
+    HiFi-GAN recipe (hifigan/models.py:209-334); ("mpd", "mrd") is the
+    Vocos/UnivNet pairing (models/vocos.py::mrd).  The step functions
+    dispatch on the state's keys — no extra arguments needed."""
+    reg = _disc_registry()
+    unknown = set(discriminators) - set(reg)
+    if unknown:
+        raise ValueError(f"unknown discriminator families {sorted(unknown)}; "
+                         f"available: {sorted(reg)}")
+    kg, *dkeys = jax.random.split(key, 1 + len(discriminators))
     gen = (gen_params if gen_params is not None
            else vocoder_mod.init_vocoder(kg, hcfg))
-    disc = {"mpd": hifigan.init_mpd(kp), "msd": hifigan.init_msd(ks)}
+    disc = {name: reg[name][0](k) for name, k in zip(discriminators, dkeys)}
     if use_weight_norm:
         gen = wn.decompose(gen)
         disc = wn.decompose(disc)
@@ -137,11 +167,9 @@ def gan_disc_step(state: GanTrainState, audio: jnp.ndarray,
     def loss_fn(disc_params):
         if weight_norm:
             disc_params = wn.fold(disc_params)
-        mpd_out = hifigan.mpd(disc_params["mpd"], audio[..., :n], fake[..., :n])
-        msd_out = hifigan.msd(disc_params["msd"], audio[..., :n], fake[..., :n])
-        l_mpd, _, _ = hifigan.discriminator_loss(mpd_out[0], mpd_out[1])
-        l_msd, _, _ = hifigan.discriminator_loss(msd_out[0], msd_out[1])
-        return l_mpd + l_msd
+        outs = _disc_forward_all(disc_params, audio[..., :n], fake[..., :n])
+        return sum(hifigan.discriminator_loss(o[0], o[1])[0]
+                   for o in outs.values())
 
     loss, grads = jax.value_and_grad(loss_fn)(state.disc_params)
     _, d_tx = make_gan_optimizers(lr)
@@ -175,13 +203,10 @@ def gan_gen_step(state: GanTrainState, audio: jnp.ndarray,
         mel_loss = jnp.mean(jnp.abs(
             mel_fake - mel_real_full[..., : mel_fake.shape[-1]]))
 
-        mpd_out = hifigan.mpd(disc_plain["mpd"], audio[..., :n], fake[..., :n])
-        msd_out = hifigan.msd(disc_plain["msd"], audio[..., :n], fake[..., :n])
-        fm = (hifigan.feature_loss(mpd_out[2], mpd_out[3])
-              + hifigan.feature_loss(msd_out[2], msd_out[3]))
-        adv_mpd, _ = hifigan.generator_loss(mpd_out[1])
-        adv_msd, _ = hifigan.generator_loss(msd_out[1])
-        total = adv_mpd + adv_msd + fm + 45.0 * mel_loss
+        outs = _disc_forward_all(disc_plain, audio[..., :n], fake[..., :n])
+        fm = sum(hifigan.feature_loss(o[2], o[3]) for o in outs.values())
+        adv = sum(hifigan.generator_loss(o[1])[0] for o in outs.values())
+        total = adv + fm + 45.0 * mel_loss
         return total, (mel_loss, fm)
 
     (loss, (mel_loss, fm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -278,3 +278,53 @@ def test_fullsize_lightning_checkpoint_file_to_wav(tmp_path):
     w_mem = np.asarray(
         Synthesizer(params, cfg, vp, hcfg).synthesize(text, n_timesteps=2).wav)
     np.testing.assert_array_equal(w_file, w_mem)
+
+
+# ---------------------------------------------------------------------------
+# Vocos converter (params/convert.py::convert_vocos / export_vocos)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_vocos_cfg():
+    from matcha_tts_tpu.config import VocosConfig
+
+    return VocosConfig(num_mels=8, dim=32, intermediate_dim=64, num_layers=2,
+                       n_fft=64, hop_length=16)
+
+
+def test_vocos_export_convert_roundtrip():
+    from matcha_tts_tpu.models import vocos
+
+    cfg = _tiny_vocos_cfg()
+    params = vocos.init_vocos(jax.random.PRNGKey(0), cfg)
+    sd = C.export_vocos(params)
+    back = C.convert_vocos(sd, cfg)
+    assert_tree_equal(jax.tree.map(np.asarray, params), back)
+    # layer count is also inferable from the key namespace alone
+    back2 = C.convert_vocos(sd, type("NoLayers", (), {})())
+    assert_tree_equal(back, back2)
+
+
+def test_vocos_converted_checkpoint_matches_official_forward():
+    """A state dict in the official charactr/vocos naming + torch layouts,
+    converted through convert_vocos, must produce the same audio as an
+    independent torch execution of the official forward consuming the raw
+    tensors — converted Vocos checkpoints are interchangeable."""
+    from matcha_tts_tpu.models import vocos
+
+    cfg = _tiny_vocos_cfg()
+    params = vocos.init_vocos(jax.random.PRNGKey(1), cfg)
+    sd = C.export_vocos(params)  # official naming, torch-native layouts
+
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((2, cfg.num_mels, 12)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = tm.vocos_generate_official(
+            sd, torch.from_numpy(mel.copy()), cfg).numpy()
+    import jax.numpy as jnp
+
+    ours = np.asarray(vocos.generate(C.convert_vocos(sd, cfg),
+                                     jnp.asarray(mel.transpose(0, 2, 1)), cfg))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)

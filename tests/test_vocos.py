@@ -96,6 +96,62 @@ def test_vocos_gan_steps_run_and_update():
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
+def test_mrd_shapes_and_fmaps():
+    """Each MRD sub-discriminator produces logits + 6 feature maps from its
+    own STFT resolution of raw audio."""
+    params = vocos.init_mrd(jax.random.PRNGKey(0))
+    audio = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 4096)).astype(np.float32))
+    outs_r, outs_g, fmaps_r, fmaps_g = vocos.mrd(params, audio, audio * 0.5)
+    assert len(outs_r) == len(vocos.MRD_RESOLUTIONS) == 3
+    for lr, fr in zip(outs_r, fmaps_r):
+        assert lr.ndim == 2 and lr.shape[0] == 2
+        assert len(fr) == 6  # 5 conv stages + post
+        assert all(np.isfinite(np.asarray(f)).all() for f in fr)
+    # real and fake go through the same weights: identical inputs agree
+    same = vocos.mrd(params, audio, audio)
+    for lr, lg in zip(same[0], same[1]):
+        np.testing.assert_array_equal(np.asarray(lr), np.asarray(lg))
+
+
+def test_vocos_gan_with_mrd_recipe():
+    """The paper pairing: create_gan_state(discriminators=("mpd", "mrd"))
+    trains both the generator and every MRD parameter."""
+    from matcha_tts_tpu.train.vocoder import (create_gan_state,
+                                              gan_disc_step, gan_gen_step)
+
+    vcfg = VocosConfig(num_mels=8, dim=32, intermediate_dim=64, num_layers=2,
+                       n_fft=256, hop_length=16)
+    acfg = AudioConfig(n_mels=8, n_fft=256, win_length=256, hop_length=16,
+                       f_max=4000.0)
+    state = create_gan_state(jax.random.PRNGKey(0), vcfg,
+                             discriminators=("mpd", "mrd"))
+    assert set(state.disc_params) == {"mpd", "mrd"}
+    audio = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 4096)).astype(np.float32) * 0.1)
+
+    before = jax.tree.map(np.asarray, state.disc_params["mrd"])
+    state, d_loss = gan_disc_step(state, audio, vcfg, acfg)
+    assert np.isfinite(float(d_loss))
+    after = state.disc_params["mrd"]
+    moved = [not np.allclose(b, np.asarray(a)) for b, a in zip(
+        jax.tree.leaves(before), jax.tree.leaves(after))]
+    assert all(moved), "every MRD param should receive gradient"
+
+    state, metrics = gan_gen_step(state, audio, vcfg, acfg)
+    assert np.isfinite(float(metrics["gen_loss"]))
+
+
+def test_unknown_discriminator_family_rejected():
+    import pytest
+
+    from matcha_tts_tpu.train.vocoder import create_gan_state
+
+    with pytest.raises(ValueError, match="unknown discriminator"):
+        create_gan_state(jax.random.PRNGKey(0), TINY,
+                         discriminators=("mpd", "mrdd"))
+
+
 def _tiny_matcha():
     cfg = MatchaConfig(
         n_vocab=178,

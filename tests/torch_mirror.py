@@ -341,3 +341,41 @@ def vocos_generate(p, mel, cfg):
     spec = torch.cat([spec, spec[..., -1:]], dim=-1)  # edge-replicate
     return torch.istft(spec, cfg.n_fft, cfg.hop_length, cfg.n_fft,
                        torch.hann_window(cfg.n_fft), center=True)
+
+
+def vocos_generate_official(sd, mel, cfg):
+    """Official-layout Vocos forward consuming a raw official-named state
+    dict (charactr/vocos VocosBackbone.forward + ISTFTHead.forward
+    restated) — the oracle for params/convert.py::convert_vocos: tensors
+    here use torch-native layouts ((O, I, W) convs, (O, I) linears), so
+    agreement with our generate() on the converted tree proves every
+    transpose in the mapping."""
+    t = lambda k: torch.from_numpy(np.asarray(sd[k], np.float32))
+    x = F.conv1d(mel, t("backbone.embed.weight"), t("backbone.embed.bias"),
+                 padding=cfg.kernel_size // 2)
+    x = x.transpose(1, 2)
+    x = F.layer_norm(x, (cfg.dim,), t("backbone.norm.weight"),
+                     t("backbone.norm.bias"), 1e-6)
+    n_layers = len({k.split(".")[2] for k in sd
+                    if k.startswith("backbone.convnext.")})
+    for i in range(n_layers):
+        p = f"backbone.convnext.{i}"
+        r = x
+        h = F.conv1d(x.transpose(1, 2), t(f"{p}.dwconv.weight"),
+                     t(f"{p}.dwconv.bias"), padding=cfg.kernel_size // 2,
+                     groups=cfg.dim).transpose(1, 2)
+        h = F.layer_norm(h, (cfg.dim,), t(f"{p}.norm.weight"),
+                         t(f"{p}.norm.bias"), 1e-6)
+        h = F.linear(h, t(f"{p}.pwconv1.weight"), t(f"{p}.pwconv1.bias"))
+        h = F.gelu(h)
+        h = F.linear(h, t(f"{p}.pwconv2.weight"), t(f"{p}.pwconv2.bias"))
+        x = r + t(f"{p}.gamma") * h
+    x = F.layer_norm(x, (cfg.dim,), t("backbone.final_layer_norm.weight"),
+                     t("backbone.final_layer_norm.bias"), 1e-6)
+    h = F.linear(x, t("head.out.weight"), t("head.out.bias")).transpose(1, 2)
+    mag, p = h.chunk(2, dim=1)
+    mag = torch.exp(mag).clamp(max=cfg.mag_clip)
+    spec = mag * (torch.cos(p) + 1j * torch.sin(p))
+    spec = torch.cat([spec, spec[..., -1:]], dim=-1)  # edge-replicate
+    return torch.istft(spec, cfg.n_fft, cfg.hop_length, cfg.n_fft,
+                       torch.hann_window(cfg.n_fft), center=True)
