@@ -65,19 +65,26 @@ def main(argv=None):
     p.add_argument("--mrf", default=None,
                    choices=("xla", "tap", "packed", "int8", "auto"),
                    help="override HiFiGANConfig.mrf_kernel")
+    p.add_argument("--family", default="hifigan",
+                   choices=("hifigan", "vocos"),
+                   help="vocoder family (models/vocoder.py dispatch)")
     args = p.parse_args(argv)
 
-    from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
+    from matcha_tts_tpu.config import (HiFiGANConfig, MatchaConfig,
+                                       VocosConfig)
     from matcha_tts_tpu.inference.synthesizer import _synthesize_to_wav
-    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.models import vocoder as vocoder_mod
     from matcha_tts_tpu.models.matcha import init_matcha
     from matcha_tts_tpu.models.text_encoder import text_encoder
 
     cfg = MatchaConfig()
-    hcfg = (HiFiGANConfig() if args.mrf is None
-            else HiFiGANConfig(mrf_kernel=args.mrf))
+    if args.family == "vocos":
+        hcfg = VocosConfig()
+    else:
+        hcfg = (HiFiGANConfig() if args.mrf is None
+                else HiFiGANConfig(mrf_kernel=args.mrf))
     params = init_matcha(jax.random.PRNGKey(0), cfg)
-    voc = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
+    voc = vocoder_mod.init_vocoder(jax.random.PRNGKey(1), hcfg)
 
     b, t_x, t_y = args.batch, args.tokens, args.frames
     rng = np.random.default_rng(0)
@@ -114,7 +121,8 @@ def main(argv=None):
             acc, key = carry
             key = jax.random.fold_in(key, i)
             noise = jax.random.normal(key, mel0.shape, jnp.float32) * 0.01
-            wav = hifigan.generator(voc_c, mel0_c + noise.astype(dt), hcfg)
+            wav = vocoder_mod.generate(voc_c, mel0_c + noise.astype(dt),
+                                       hcfg)
             return acc + jnp.sum(wav.astype(jnp.float32)), key
         acc, _ = jax.lax.fori_loop(0, CHAIN, body, (jnp.float32(0), key))
         return acc
@@ -142,6 +150,7 @@ def main(argv=None):
         t_full = chained_time(full_chain(nfe))
         rec = {
             "nfe": nfe, "batch": b, "tokens": t_x, "frames": t_y,
+            "family": args.family,
             "dtype": args.dtype,
             "encode_ms": t_enc * 1e3,
             "vocode_ms": t_voc * 1e3,

@@ -23,26 +23,34 @@ import jax
 import numpy as np
 
 
-def load_models(checkpoint=None, vocoder=None, cfg=None, hcfg=None):
-    """Load (or randomly initialize) Matcha + HiFi-GAN parameter trees.
+def load_models(checkpoint=None, vocoder=None, cfg=None, hcfg=None,
+                vocoder_family="hifigan"):
+    """Load (or randomly initialize) Matcha + vocoder parameter trees.
 
     Accepts torch .ckpt/.pt checkpoints (Lightning `model.` prefix handled
     by the converter) or http(s) URLs (auto-downloaded once into the local
     cache, main.py:139-142 semantics; see utils/fetch.py) — shared by the
     inference CLI and the HTTP server.
+
+    `vocoder_family` picks the mel->wav family when `hcfg` is not given:
+    "hifigan" (reference parity) or "vocos" (frame-rate iSTFT family;
+    vocoder checkpoints are then read in the official charactr/vocos
+    naming via params.convert.convert_vocos).
     Returns (matcha_params, cfg, vocoder_params, hcfg).
     """
-    from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
-    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig, VocosConfig
+    from matcha_tts_tpu.models import vocoder as vocoder_mod
     from matcha_tts_tpu.models.matcha import init_matcha
     from matcha_tts_tpu.params.convert import (
         convert_hifigan,
         convert_matcha,
+        convert_vocos,
         load_torch_state_dict,
     )
 
     cfg = cfg or MatchaConfig()
-    hcfg = hcfg or HiFiGANConfig()
+    if hcfg is None:
+        hcfg = VocosConfig() if vocoder_family == "vocos" else HiFiGANConfig()
 
     if checkpoint:
         print(f"Loading Matcha checkpoint from {checkpoint} ...")
@@ -55,13 +63,15 @@ def load_models(checkpoint=None, vocoder=None, cfg=None, hcfg=None):
         print("No checkpoint given — using randomly initialized weights.")
         matcha_params = init_matcha(jax.random.PRNGKey(0), cfg)
 
+    family = "vocos" if isinstance(hcfg, VocosConfig) else "hifigan"
     if vocoder:
-        print(f"Loading vocoder from {vocoder} ...")
+        print(f"Loading {family} vocoder from {vocoder} ...")
         vsd = load_torch_state_dict(vocoder)
-        vocoder_params = convert_hifigan(vsd, hcfg)
+        vocoder_params = (convert_vocos(vsd, hcfg) if family == "vocos"
+                          else convert_hifigan(vsd, hcfg))
     else:
-        print("No vocoder checkpoint — using randomly initialized HiFi-GAN.")
-        vocoder_params = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
+        print(f"No vocoder checkpoint — using randomly initialized {family}.")
+        vocoder_params = vocoder_mod.init_vocoder(jax.random.PRNGKey(1), hcfg)
     return matcha_params, cfg, vocoder_params, hcfg
 
 
@@ -86,6 +96,11 @@ def main(argv=None):
                         help="speaker id (multi-speaker checkpoints)")
     parser.add_argument("--long-form", action="store_true",
                         help="split on sentences/'|' and synthesize chunked")
+    parser.add_argument("--vocoder-family", default="hifigan",
+                        choices=("hifigan", "vocos"),
+                        help="mel->wav vocoder family (vocos expects "
+                             "--vocoder checkpoints in the official "
+                             "charactr/vocos naming)")
     parser.add_argument("--mrf-kernel", default=None,
                         choices=("xla", "tap", "packed", "int8", "auto"),
                         help="vocoder MRF implementation override "
@@ -99,8 +114,8 @@ def main(argv=None):
     from matcha_tts_tpu.utils.wav import write_wav
 
     matcha_params, cfg, vocoder_params, hcfg = load_models(
-        args.checkpoint, args.vocoder)
-    if args.mrf_kernel is not None:
+        args.checkpoint, args.vocoder, vocoder_family=args.vocoder_family)
+    if args.mrf_kernel is not None and hasattr(hcfg, "mrf_kernel"):
         import dataclasses
 
         hcfg = dataclasses.replace(hcfg, mrf_kernel=args.mrf_kernel)

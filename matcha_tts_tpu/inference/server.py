@@ -357,6 +357,10 @@ def main(argv=None):
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--batch-window-ms", type=float, default=10.0)
     ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--vocoder-family", default="hifigan",
+                    choices=("hifigan", "vocos"),
+                    help="mel->wav family (vocos: frame-rate iSTFT "
+                         "vocoder, ~4.5x the batched serving throughput)")
     ap.add_argument("--denoise-strength", type=float, default=0.00025)
     ap.add_argument("--warmup", action="store_true",
                     help="precompile batched graphs before serving")
@@ -382,7 +386,8 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir", args.compile_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    params, cfg, voc_params, hcfg = load_models(args.ckpt, args.vocoder)
+    params, cfg, voc_params, hcfg = load_models(
+        args.ckpt, args.vocoder, vocoder_family=args.vocoder_family)
     synth = Synthesizer(params, cfg, voc_params, hcfg,
                         compute_dtype=args.compute_dtype,
                         denoise_strength=args.denoise_strength)

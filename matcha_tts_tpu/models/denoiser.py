@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from matcha_tts_tpu.config import HiFiGANConfig
@@ -46,11 +47,19 @@ def make_denoiser(vocoder_params, cfg: HiFiGANConfig, filter_length: int = 1024,
     # strengths in use (2.5e-4 .. 5e-4).
     if isinstance(cfg, HiFiGANConfig):
         cfg = dataclasses.replace(cfg, mrf_kernel="xla", use_pallas=False)
-    bias_audio = _vocoder_generate(vocoder_params, mel, cfg)[0]  # (T,)
     hop = int(filter_length / n_overlap)
-    mag, _ = stft_magnitude_and_phase(bias_audio, filter_length, hop, win_length,
-                                      center=True)
-    bias_spec = mag[:, 0:1]  # first frame (denoiser.py:60)
+
+    # One jitted probe graph instead of eager op-by-op: eager dispatch costs
+    # ~30 ms/op on the TPU tunnel, and some primitives (e.g. standalone
+    # irfft on the axon plugin) are UNIMPLEMENTED outside a compiled graph.
+    @jax.jit
+    def _probe(params, mel):
+        bias_audio = _vocoder_generate(params, mel, cfg)[0]  # (T,)
+        mag, _ = stft_magnitude_and_phase(bias_audio, filter_length, hop,
+                                          win_length, center=True)
+        return mag[:, 0:1]  # first frame (denoiser.py:60)
+
+    bias_spec = _probe(vocoder_params, mel)
     return DenoiserState(bias_spec, filter_length, n_overlap, win_length)
 
 

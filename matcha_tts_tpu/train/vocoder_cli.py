@@ -1,0 +1,134 @@
+"""Vocoder GAN training CLI.
+
+The reference vendors HiFi-GAN's models but ships NO vocoder trainer (the
+generator is loaded pretrained, /root/reference/main.py:139-149); this CLI
+makes the vendored training recipe runnable end to end on TPU for either
+vocoder family:
+
+  python -m matcha_tts_tpu.train.vocoder_cli --data_root LJSpeech-1.1 \
+      [--family hifigan|vocos] [--discriminators mpd,msd|mpd,mrd] \
+      [--segment_size 8192] [--batch_size 16] [--steps 100000] \
+      [--work_dir runs/vocoder]
+
+Recipe per the vendored config (hifigan/config.py:4-8): Adam(0.8, 0.99),
+lr 2e-4 with exponential decay, random hop-aligned segment crops
+(meldataset.py:140-152), LS-GAN + feature-matching + 45x mel-L1 losses.
+Defaults: HiFi-GAN trains against MPD+MSD (the HiFi-GAN paper recipe),
+Vocos against MPD+MRD (its paper pairing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Vocoder GAN training (TPU)")
+    ap.add_argument("--data_root", type=str, default="LJSpeech-1.1")
+    ap.add_argument("--train_filelist", type=str, default=None)
+    ap.add_argument("--family", default="hifigan",
+                    choices=("hifigan", "vocos"))
+    ap.add_argument("--discriminators", type=str, default=None,
+                    help="comma-separated families (default: mpd,msd for "
+                         "hifigan; mpd,mrd for vocos)")
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--segment_size", type=int, default=8192,
+                    help="training crop in samples (hifigan/config.py:9)")
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--steps", type=int, default=100000)
+    ap.add_argument("--work_dir", type=str, default="runs/vocoder")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--weight_norm", action="store_true",
+                    help="train in the reference's (v, g) parameterization")
+    ap.add_argument("--log_every", type=int, default=50)
+    ap.add_argument("--ckpt_every", type=int, default=1000)
+    ap.add_argument("--no_resume", action="store_true")
+    ap.add_argument("--debug_tiny", action="store_true",
+                    help="tiny model config for smoke tests / CI")
+    args = ap.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from matcha_tts_tpu.config import AudioConfig, HiFiGANConfig, VocosConfig
+    from matcha_tts_tpu.data.dataset import TextMelDataset, create_filelists
+    from matcha_tts_tpu.train.loop import Checkpointer, MetricsLogger
+    from matcha_tts_tpu.train.vocoder import (create_gan_state, gan_disc_step,
+                                              gan_gen_step, random_segment)
+
+    acfg = AudioConfig()
+    if args.family == "vocos":
+        hcfg = (VocosConfig(dim=32, intermediate_dim=64, num_layers=2)
+                if args.debug_tiny else VocosConfig())
+        discs = ("mpd", "mrd")
+    else:
+        hcfg = (HiFiGANConfig(upsample_initial_channel=32)
+                if args.debug_tiny else HiFiGANConfig())
+        discs = ("mpd", "msd")
+    if args.discriminators:
+        discs = tuple(args.discriminators.split(","))
+    assert hcfg.total_upsample == acfg.hop_length, (
+        "vocoder hop must match the mel hop")
+
+    if args.train_filelist:
+        train_fl = args.train_filelist
+    else:
+        train_fl, _ = create_filelists(args.data_root)
+    ds = TextMelDataset(train_fl, acfg, seed=args.seed)
+    print(f"{len(ds)} training utterances; family={args.family} "
+          f"discriminators={discs}")
+
+    state = create_gan_state(jax.random.PRNGKey(args.seed), hcfg,
+                             learning_rate=args.lr,
+                             use_weight_norm=args.weight_norm,
+                             discriminators=discs)
+    from pathlib import Path
+
+    work = Path(args.work_dir)
+    logger = MetricsLogger(work)
+    ckpt = Checkpointer(work / "ckpt", keep=3)
+    start_step = 0
+    if not args.no_resume:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            start_step = int(np.asarray(state.step))
+            print(f"resumed from step {start_step}")
+
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed + 1)
+
+    def sample_batch(step):
+        segs = []
+        idxs = rng.integers(0, len(ds), size=args.batch_size)
+        for j, idx in enumerate(idxs):
+            wav = ds.load_audio(int(idx))
+            k = jax.random.fold_in(key, step * args.batch_size + j)
+            seg, _ = random_segment(k, wav, args.segment_size,
+                                    acfg.hop_length)
+            segs.append(seg)
+        return np.stack(segs)
+
+    t0 = time.perf_counter()
+    for step in range(start_step, args.steps):
+        audio = sample_batch(step)
+        state, d_loss = gan_disc_step(state, audio, hcfg, acfg, lr=args.lr,
+                                      weight_norm=args.weight_norm)
+        state, metrics = gan_gen_step(state, audio, hcfg, acfg, lr=args.lr,
+                                      weight_norm=args.weight_norm)
+        if (step + 1) % args.log_every == 0 or step == start_step:
+            dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            logger.log(step + 1, "train",
+                       {"disc_loss": float(d_loss),
+                        **{k: float(v) for k, v in metrics.items()},
+                        "sec_per_step": dt / args.log_every})
+        if (step + 1) % args.ckpt_every == 0 or step + 1 == args.steps:
+            ckpt.save(step + 1, state)
+    print(f"done: {args.steps} steps -> {work}")
+    return state
+
+
+if __name__ == "__main__":
+    main()
