@@ -52,6 +52,9 @@ def main():
                     choices=("xla", "tap", "packed", "int8", "auto"),
                     help="override HiFiGANConfig.mrf_kernel (int8 = the "
                          "opt-in quantized serving mode)")
+    ap.add_argument("--family", default="hifigan",
+                    choices=("hifigan", "vocos"),
+                    help="vocoder family (models/vocoder.py dispatch)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--soak-seconds", type=float, default=0.0,
                     help="after the burst rounds, run a sustained-load soak "
@@ -70,17 +73,21 @@ def main():
                       str(Path(__file__).resolve().parent.parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
+    from matcha_tts_tpu.config import (HiFiGANConfig, MatchaConfig,
+                                       VocosConfig)
     from matcha_tts_tpu.inference.server import TTSServer
     from matcha_tts_tpu.inference.synthesizer import Synthesizer
-    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.models import vocoder as vocoder_mod
     from matcha_tts_tpu.models.matcha import init_matcha
 
     cfg = MatchaConfig()
-    hcfg = (HiFiGANConfig() if args.mrf is None
-            else HiFiGANConfig(mrf_kernel=args.mrf))
+    if args.family == "vocos":
+        hcfg = VocosConfig()
+    else:
+        hcfg = (HiFiGANConfig() if args.mrf is None
+                else HiFiGANConfig(mrf_kernel=args.mrf))
     synth = Synthesizer(init_matcha(jax.random.PRNGKey(0), cfg), cfg,
-                        hifigan.init_generator(jax.random.PRNGKey(1), hcfg),
+                        vocoder_mod.init_vocoder(jax.random.PRNGKey(1), hcfg),
                         hcfg, compute_dtype=args.compute_dtype,
                         denoise_strength=0.00025)
     srv = TTSServer(synth, max_batch=args.max_batch,

@@ -55,7 +55,7 @@ def main(argv=None):
     from matcha_tts_tpu.data.dataset import TextMelDataset, create_filelists
     from matcha_tts_tpu.train.loop import Checkpointer, MetricsLogger
     from matcha_tts_tpu.train.vocoder import (create_gan_state, gan_disc_step,
-                                              gan_gen_step, random_segment)
+                                              gan_gen_step)
 
     acfg = AudioConfig()
     if args.family == "vocos":
@@ -97,22 +97,29 @@ def main(argv=None):
             print(f"resumed from step {start_step}")
 
     rng = np.random.default_rng(args.seed)
-    key = jax.random.PRNGKey(args.seed + 1)
 
-    def sample_batch(step):
+    def sample_batch():
+        # host-side RNG for crop offsets (random_segment's jax.random
+        # variant would dispatch one eager device op per item — ~30 ms
+        # each on the TPU tunnel); same hop-aligned semantics
+        # (hifigan/meldataset.py:140-152).
         segs = []
         idxs = rng.integers(0, len(ds), size=args.batch_size)
-        for j, idx in enumerate(idxs):
+        for idx in idxs:
             wav = ds.load_audio(int(idx))
-            k = jax.random.fold_in(key, step * args.batch_size + j)
-            seg, _ = random_segment(k, wav, args.segment_size,
-                                    acfg.hop_length)
+            if len(wav) <= args.segment_size:
+                seg = np.zeros(args.segment_size, np.float32)
+                seg[: len(wav)] = wav
+            else:
+                max_start = (len(wav) - args.segment_size) // acfg.hop_length
+                start = int(rng.integers(0, max_start + 1)) * acfg.hop_length
+                seg = wav[start : start + args.segment_size]
             segs.append(seg)
         return np.stack(segs)
 
     t0 = time.perf_counter()
     for step in range(start_step, args.steps):
-        audio = sample_batch(step)
+        audio = sample_batch()
         state, d_loss = gan_disc_step(state, audio, hcfg, acfg, lr=args.lr,
                                       weight_norm=args.weight_norm)
         state, metrics = gan_gen_step(state, audio, hcfg, acfg, lr=args.lr,

@@ -142,7 +142,7 @@ def test_warmup_only_exits_without_serving(monkeypatch):
     params = init_matcha(jax.random.PRNGKey(0), cfg)
     voc = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
     monkeypatch.setattr("matcha_tts_tpu.inference.cli.load_models",
-                        lambda c, v: (params, cfg, voc, hcfg))
+                        lambda c, v, **kw: (params, cfg, voc, hcfg))
     served = []
     monkeypatch.setattr(srv_mod.TTSServer, "serve_forever",
                         lambda self: served.append(True))
