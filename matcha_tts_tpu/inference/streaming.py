@@ -33,18 +33,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from matcha_tts_tpu.config import HiFiGANConfig
-from matcha_tts_tpu.models import hifigan as hifigan_mod
+from matcha_tts_tpu.config import HiFiGANConfig, VocosConfig
+from matcha_tts_tpu.models import vocoder as vocoder_mod
 
 
-def receptive_radius_frames(cfg: HiFiGANConfig) -> int:
+def receptive_radius_frames(cfg) -> int:
     """One-sided receptive-field radius of the generator, in mel frames.
 
-    Walks the stack output -> input (conv_post, per-level MRF + transposed
-    upsample, conv_pre), mirroring Generator.forward
+    HiFi-GAN: walks the stack output -> input (conv_post, per-level MRF +
+    transposed upsample, conv_pre), mirroring Generator.forward
     (reference hifigan/models.py:181-197).  Conservative (ceil) at each
     rate change; v1 config evaluates to 13.
+
+    Vocos: the ConvNeXt backbone's radius is (k//2) per depthwise conv
+    plus the embed conv; the iSTFT head adds an overlap-add boundary band
+    of ceil(n_fft / hop) frames (each output sample draws OLA
+    contributions and window-square normalization from frames within
+    n_fft/2 samples, and the chunk-local last-frame edge replication +
+    center trim must stay outside the extracted region).  Default config
+    evaluates to 31.
     """
+    if isinstance(cfg, VocosConfig):
+        half = cfg.kernel_size // 2
+        backbone = half * (1 + cfg.num_layers)
+        ola = -(-cfg.n_fft // cfg.hop_length)
+        return backbone + ola
     r = 3  # conv_post k=7, pad 3
     levels = list(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes))
     for i, (u, k) in reversed(list(enumerate(levels))):
@@ -67,16 +80,16 @@ def receptive_radius_frames(cfg: HiFiGANConfig) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
-def _vocode_window(params, mel_win: jnp.ndarray, cfg: HiFiGANConfig,
+def _vocode_window(params, mel_win: jnp.ndarray, cfg,
                    compute_dtype: str = "float32") -> jnp.ndarray:
     """(B, W, n_mels) window -> (B, W * hop) wav, clipped to [-1, 1]."""
-    wav = hifigan_mod.generator(params,
-                                mel_win.astype(jnp.dtype(compute_dtype)), cfg)
+    wav = vocoder_mod.generate(params,
+                               mel_win.astype(jnp.dtype(compute_dtype)), cfg)
     return jnp.clip(wav.astype(jnp.float32), -1.0, 1.0)
 
 
 class StreamingVocoder:
-    """Chunked HiFi-GAN with exact full-pass equivalence.
+    """Chunked vocoding (either family) with exact full-pass equivalence.
 
     Yields wav chunks of `chunk_frames * hop` samples (last chunk partial)
     from a mel of any length, using ONE compiled graph for all interior

@@ -128,3 +128,61 @@ def test_synthesizer_stream_samples():
     assert total % hop == 0 and total > 0
     for c in chunks:
         assert c.dtype == np.float32 and np.isfinite(c).all()
+
+
+# ---------------------------------------------------------------------------
+# Vocos family (frame-rate iSTFT vocoder, models/vocos.py)
+# ---------------------------------------------------------------------------
+
+
+def _vocos_cfg():
+    from matcha_tts_tpu.config import VocosConfig
+
+    return VocosConfig(num_mels=8, dim=32, intermediate_dim=64, num_layers=2,
+                       n_fft=64, hop_length=16)
+
+
+def _vocos_full(params, mel, cfg):
+    from matcha_tts_tpu.models import vocos
+
+    wav = vocos.generate(params, jnp.asarray(mel[None]), cfg)[0]
+    return np.clip(np.asarray(wav), -1.0, 1.0)
+
+
+def test_vocos_radius_bounds_receptive_field():
+    """Perturbing one mel frame must not change vocos wav outside
+    radius*hop — validates the ConvNeXt + OLA radius formula."""
+    from matcha_tts_tpu.models import vocos
+
+    cfg = _vocos_cfg()
+    r = receptive_radius_frames(cfg)
+    p = vocos.init_vocos(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    t = 64
+    mel = rng.standard_normal((t, cfg.num_mels), dtype=np.float32)
+    base = _vocos_full(p, mel, cfg)
+    mel2 = mel.copy()
+    mel2[t // 2] += 1.0
+    pert = _vocos_full(p, mel2, cfg)
+    diff = np.abs(base - pert) > 1e-7
+    hop = cfg.total_upsample
+    lo, hi = (t // 2 - r) * hop, (t // 2 + 1 + r) * hop
+    assert not diff[:lo].any() and not diff[hi:].any()
+
+
+def test_vocos_stream_matches_full_pass():
+    """Concatenated vocos stream chunks == one full pass, including the
+    OLA normalization band and the last-frame edge replication, for
+    interior, head, tail, and shorter-than-window utterances."""
+    from matcha_tts_tpu.models import vocos
+
+    cfg = _vocos_cfg()
+    p = vocos.init_vocos(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    sv = StreamingVocoder(p, cfg, chunk_frames=16)
+    for t in (7, 40, 96, 131):
+        mel = rng.standard_normal((t, cfg.num_mels), dtype=np.float32)
+        got = np.concatenate(list(sv.stream(mel)))
+        want = _vocos_full(p, mel, cfg)
+        assert got.shape == want.shape == (t * cfg.hop_length,)
+        np.testing.assert_allclose(got, want, atol=2e-6)

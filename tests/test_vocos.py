@@ -224,3 +224,26 @@ def test_vocos_sharded_batch_synthesis():
         assert len(r.wav) > 0 and np.isfinite(r.wav).all()
     rs1 = syn.synthesize_batch(texts[:2], n_timesteps=2)
     np.testing.assert_allclose(rs[0].wav, rs1[0].wav, atol=3.2e-5)
+
+
+def test_vocos_stream_samples():
+    """Sample-level streaming through the Synthesizer with the Vocos
+    family: chunk count/length structure matches the predicted duration
+    (vocoder-level exactness is proven in test_streaming_vocoder.py;
+    the fused synthesize() path draws different bucket-stable CFM noise,
+    so mel-level equality is not expected — same as the HiFi-GAN test)."""
+    from matcha_tts_tpu.inference.synthesizer import Synthesizer
+
+    cfg, mp = _tiny_matcha()
+    vcfg = VocosConfig(num_mels=8, dim=32, intermediate_dim=64, num_layers=2,
+                       n_fft=64, hop_length=16)
+    vp = init_vocoder(jax.random.PRNGKey(1), vcfg)
+    syn = Synthesizer(mp, cfg, vp, vcfg, text_buckets=(32,),
+                      frame_buckets=(64,))
+    full = syn.synthesize("Stream me please.", n_timesteps=2, seed=0)
+    chunks = list(syn.stream_samples("Stream me please.", chunk_frames=16,
+                                     n_timesteps=2, seed=0))
+    got = np.concatenate(chunks)
+    assert got.shape == full.wav.shape  # same duration prediction
+    for c in chunks:
+        assert c.dtype == np.float32 and np.isfinite(c).all()
