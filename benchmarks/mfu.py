@@ -55,10 +55,6 @@ def graph_costs(fn, *args) -> dict:
             "bytes": float(ca.get("bytes accessed", 0.0))}
 
 
-def graph_flops(fn, *args) -> float:
-    """XLA-estimated FLOPs of one execution of `fn(*args)`."""
-    return graph_costs(fn, *args)["flops"]
-
 
 def main(argv=None):
     p = argparse.ArgumentParser()

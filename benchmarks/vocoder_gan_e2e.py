@@ -46,12 +46,13 @@ def main(argv=None):
     from matcha_tts_tpu.data.dataset import load_wav, parse_filelist
     from matcha_tts_tpu.ops.stft import log_mel_spectrogram
     from matcha_tts_tpu.train.vocoder import (create_gan_state, gan_disc_step,
-                                              gan_gen_step)
+                                              gan_gen_step, random_segment_np)
 
     root = Path(args.data_root)
     make_corpus(root)
     wavs = [load_wav(root / "wavs" / f"{p[0]}.wav")[0]
             for p in parse_filelist(root / "metadata.csv")]
+    eval_src, wavs = wavs[-1], wavs[:-1]  # hold the eval clip OUT of training
 
     acfg = AudioConfig()
     if args.family == "vocos":
@@ -64,20 +65,13 @@ def main(argv=None):
     rng = np.random.default_rng(0)
 
     def batch():
-        out = np.zeros((args.batch, args.segment), np.float32)
-        for r in range(args.batch):
-            w = wavs[int(rng.integers(0, len(wavs)))]
-            if len(w) <= args.segment:
-                out[r, : len(w)] = w
-            else:
-                s = int(rng.integers(
-                    0, (len(w) - args.segment) // acfg.hop_length + 1)
-                ) * acfg.hop_length
-                out[r] = w[s : s + args.segment]
-        return jnp.asarray(out)
+        return jnp.asarray(np.stack([
+            random_segment_np(rng, wavs[int(i)], args.segment,
+                              acfg.hop_length)
+            for i in rng.integers(0, len(wavs), size=args.batch)]))
 
-    # held-out evaluation clip (not cropped like training batches)
-    eval_wav = jnp.asarray(wavs[-1][: args.segment][None])
+    # held-out evaluation clip (never seen by training)
+    eval_wav = jnp.asarray(eval_src[: args.segment][None])
     eval_mel = log_mel_spectrogram(eval_wav, acfg.sample_rate, acfg.n_fft,
                                    acfg.n_mels, acfg.hop_length,
                                    acfg.win_length, acfg.f_min, acfg.f_max)

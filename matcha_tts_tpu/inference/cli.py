@@ -46,6 +46,7 @@ def load_models(checkpoint=None, vocoder=None, cfg=None, hcfg=None,
         convert_matcha,
         convert_vocos,
         load_torch_state_dict,
+        vocos_config_from_state_dict,
     )
 
     cfg = cfg or MatchaConfig()
@@ -57,8 +58,10 @@ def load_models(checkpoint=None, vocoder=None, cfg=None, hcfg=None,
         sd = load_torch_state_dict(checkpoint)
         matcha_params = convert_matcha(sd, cfg)
         if "mel_mean" in sd:
-            print(f"Found mel_mean in checkpoint: {float(sd['mel_mean'])}")
-            print(f"Found mel_std in checkpoint: {float(sd['mel_std'])}")
+            print("Found mel_mean in checkpoint: "
+                  f"{np.asarray(sd['mel_mean']).reshape(-1)[0]}")
+            print("Found mel_std in checkpoint: "
+                  f"{np.asarray(sd['mel_std']).reshape(-1)[0]}")
     else:
         print("No checkpoint given — using randomly initialized weights.")
         matcha_params = init_matcha(jax.random.PRNGKey(0), cfg)
@@ -67,8 +70,23 @@ def load_models(checkpoint=None, vocoder=None, cfg=None, hcfg=None,
     if vocoder:
         print(f"Loading {family} vocoder from {vocoder} ...")
         vsd = load_torch_state_dict(vocoder)
-        vocoder_params = (convert_vocos(vsd, hcfg) if family == "vocos"
-                          else convert_hifigan(vsd, hcfg))
+        if family == "vocos":
+            # the checkpoint's tensor shapes define the architecture;
+            # keep the caller's hop/sampling-rate (not stored in the sd)
+            hcfg = vocos_config_from_state_dict(
+                vsd, sampling_rate=hcfg.sampling_rate,
+                hop_length=hcfg.hop_length)
+            if hcfg.num_mels != cfg.audio.n_mels:
+                raise ValueError(
+                    f"vocos checkpoint expects {hcfg.num_mels}-mel input but "
+                    f"this acoustic model produces {cfg.audio.n_mels} mels "
+                    f"(published charactr/vocos mel checkpoints are 100-mel/"
+                    f"24 kHz).  Train or fine-tune a matching vocos vocoder "
+                    f"with `python -m matcha_tts_tpu.train.vocoder_cli "
+                    f"--family vocos`.")
+            vocoder_params = convert_vocos(vsd, hcfg)
+        else:
+            vocoder_params = convert_hifigan(vsd, hcfg)
     else:
         print(f"No vocoder checkpoint — using randomly initialized {family}.")
         vocoder_params = vocoder_mod.init_vocoder(jax.random.PRNGKey(1), hcfg)
@@ -113,9 +131,12 @@ def main(argv=None):
     from matcha_tts_tpu.models.denoiser import make_denoiser
     from matcha_tts_tpu.utils.wav import write_wav
 
+    if args.mrf_kernel is not None and args.vocoder_family != "hifigan":
+        parser.error("--mrf-kernel only applies to the HiFi-GAN family "
+                     f"(got --vocoder-family {args.vocoder_family})")
     matcha_params, cfg, vocoder_params, hcfg = load_models(
         args.checkpoint, args.vocoder, vocoder_family=args.vocoder_family)
-    if args.mrf_kernel is not None and hasattr(hcfg, "mrf_kernel"):
+    if args.mrf_kernel is not None:
         import dataclasses
 
         hcfg = dataclasses.replace(hcfg, mrf_kernel=args.mrf_kernel)

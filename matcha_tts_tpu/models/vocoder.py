@@ -17,8 +17,6 @@ import jax.numpy as jnp
 
 from matcha_tts_tpu.config import HiFiGANConfig, VocosConfig
 
-VocoderConfig = (HiFiGANConfig, VocosConfig)
-
 
 def init_vocoder(key, cfg):
     """Family-dispatching parameter init."""

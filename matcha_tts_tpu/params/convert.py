@@ -439,6 +439,37 @@ def convert_hifigan(sd: StateDict, cfg: HiFiGANConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def vocos_config_from_state_dict(sd: StateDict, sampling_rate: int = 22050,
+                                 hop_length: int = 256):
+    """Derive a VocosConfig from an official checkpoint's tensor shapes.
+
+    num_mels/dim come from `backbone.embed.weight` (O, I, W); n_fft and
+    kernel_size from the head/embed widths; intermediate_dim from pwconv1;
+    num_layers from the key namespace.  hop_length and sampling_rate are
+    NOT stored in the state dict (the ISTFTHead keeps only a window
+    buffer) — pass them explicitly when the checkpoint's front end is not
+    the 256-hop/22.05 kHz Matcha one (e.g. vocos-mel-24khz trains at
+    hop 256 / 24 kHz / 100 mels).
+    """
+    from matcha_tts_tpu.config import VocosConfig
+
+    embed = sd["backbone.embed.weight"]  # (dim, num_mels, kw)
+    head = sd["head.out.weight"]         # (n_fft + 2, dim)
+    pw1 = sd["backbone.convnext.0.pwconv1.weight"]  # (inter, dim)
+    n_layers = len({k.split(".")[2] for k in sd
+                    if k.startswith("backbone.convnext.")})
+    return VocosConfig(
+        num_mels=int(embed.shape[1]),
+        dim=int(embed.shape[0]),
+        intermediate_dim=int(pw1.shape[0]),
+        num_layers=n_layers,
+        kernel_size=int(embed.shape[2]),
+        n_fft=int(head.shape[0]) - 2,
+        hop_length=hop_length,
+        sampling_rate=sampling_rate,
+    )
+
+
 def convert_vocos(sd: StateDict, cfg) -> dict:
     """Official Vocos state dict -> our tree (models/vocos.py layout).
 

@@ -110,6 +110,21 @@ def random_segment(key, audio: np.ndarray, segment_size: int,
     return audio[start : start + segment_size], start
 
 
+def random_segment_np(rng: np.random.Generator, audio: np.ndarray,
+                      segment_size: int, hop: int) -> np.ndarray:
+    """`random_segment` with a host NumPy Generator: one eager jax.random
+    op per item costs ~30 ms on a tunneled TPU, so training drivers that
+    crop on the host per step use this variant (same zero-pad + hop-
+    aligned semantics)."""
+    if len(audio) <= segment_size:
+        out = np.zeros(segment_size, np.float32)
+        out[: len(audio)] = audio
+        return out
+    max_start = (len(audio) - segment_size) // hop
+    start = int(rng.integers(0, max_start + 1)) * hop
+    return audio[start : start + segment_size]
+
+
 def _check_wn(state: GanTrainState, weight_norm: bool):
     """Trace-time guard: the step's `weight_norm` flag must match how the
     state was created (`create_gan_state(use_weight_norm=...)`)."""

@@ -328,3 +328,54 @@ def test_vocos_converted_checkpoint_matches_official_forward():
                                      jnp.asarray(mel.transpose(0, 2, 1)), cfg))
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_vocos_config_inferred_from_state_dict():
+    """Architecture hyperparameters are recovered from tensor shapes, so
+    official checkpoints self-describe (hop/sr stay caller-supplied)."""
+    from matcha_tts_tpu.models import vocos
+
+    cfg = _tiny_vocos_cfg()
+    sd = C.export_vocos(vocos.init_vocos(jax.random.PRNGKey(0), cfg))
+    got = C.vocos_config_from_state_dict(sd, sampling_rate=cfg.sampling_rate,
+                                         hop_length=cfg.hop_length)
+    assert got == cfg
+
+
+def test_cli_rejects_mel_count_mismatch_vocos_checkpoint(tmp_path):
+    """A 100-mel official-style vocos checkpoint against the 80-mel
+    acoustic model fails fast with an actionable error (main.py:139-149
+    loader surface, extended to the second family)."""
+    import pytest
+
+    from matcha_tts_tpu.config import VocosConfig
+    from matcha_tts_tpu.inference.cli import load_models
+    from matcha_tts_tpu.models import vocos
+
+    cfg100 = VocosConfig(num_mels=100, dim=32, intermediate_dim=64,
+                         num_layers=2, n_fft=64)
+    sd = C.export_vocos(vocos.init_vocos(jax.random.PRNGKey(0), cfg100))
+    path = tmp_path / "vocos100.pt"
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()}, path)
+
+    with pytest.raises(ValueError, match="100-mel"):
+        load_models(None, str(path), vocoder_family="vocos")
+
+
+def test_cli_loads_matching_vocos_checkpoint(tmp_path):
+    """An 80-mel vocos checkpoint loads through the CLI surface and the
+    derived config matches the file's architecture."""
+    from matcha_tts_tpu.inference.cli import load_models
+    from matcha_tts_tpu.models import vocos
+
+    from matcha_tts_tpu.config import VocosConfig
+
+    cfg80 = VocosConfig(num_mels=80, dim=32, intermediate_dim=64,
+                        num_layers=2, n_fft=64)
+    sd = C.export_vocos(vocos.init_vocos(jax.random.PRNGKey(0), cfg80))
+    path = tmp_path / "vocos80.pt"
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()}, path)
+
+    _, _, vp, hcfg = load_models(None, str(path), vocoder_family="vocos")
+    assert hcfg.num_mels == 80 and hcfg.dim == 32 and hcfg.n_fft == 64
+    assert vp["embed"]["weight"].shape == (7, 80, 32)
