@@ -87,6 +87,50 @@ class MetricsLogger:
                                               for k, v in metrics.items()))
 
 
+class GracefulShutdown:
+    """Convert SIGTERM/SIGINT into a checkpoint-then-exit request.
+
+    TPU slices are routinely preempted (maintenance events, spot
+    reclamation) with a short grace period; a training run that dies
+    between checkpoints loses up to `ckpt_every` steps.  The loops poll
+    `.requested` once per step and save before returning, so a preempted
+    run resumes from the exact step it was killed at.  (The reference has
+    no such guard — Lightning only converts Ctrl-C into a teardown,
+    train_standalone.py:880-886 surface; SURVEY.md §5 failure detection.)
+
+    Use as a context manager so previous handlers are restored (pytest
+    owns SIGINT).  A second signal raises KeyboardInterrupt — the escape
+    hatch when the final checkpoint itself hangs.
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self.signals = tuple(signals) if signals is not None else (
+            _signal.SIGTERM, _signal.SIGINT)
+        self.requested = False
+        self._prev = {}
+
+    def _handle(self, signum, frame):
+        if self.requested:
+            raise KeyboardInterrupt(f"second signal {signum} during shutdown")
+        self.requested = True
+        print(f"[shutdown] caught signal {signum}; checkpointing after the "
+              f"current step (send again to abort)", flush=True)
+
+    def __enter__(self):
+        for s in self.signals:
+            self._prev[s] = self._signal.signal(s, self._handle)
+        return self
+
+    def __exit__(self, *exc):
+        for s, h in self._prev.items():
+            self._signal.signal(s, h)
+        self._prev = {}
+        return False
+
+
 class Checkpointer:
     """Orbax-backed checkpoint save/restore with config + mel stats embedded
     (reference embeds them as buffers + hparams, train_standalone.py:595,
@@ -209,11 +253,33 @@ def fit(
 
     step = int(state.step)
     t0 = time.time()
-    while step < total_steps:
+    shutdown = GracefulShutdown()
+    with shutdown:
+        step, state = _fit_loop(shutdown, step, total_steps, state, k_train,
+                                train_batches, val_batches, model_cfg,
+                                train_cfg, mesh, ckpt, logger, t0)
+    if ckpt.mngr.latest_step() != step:
+        # on preemption keep the val pass short — the grace period is the
+        # budget for the whole save, not a 16-batch eval
+        val_metrics = evaluate(state.params, val_batches, model_cfg,
+                               train_cfg, mesh,
+                               max_batches=2 if shutdown.requested else 16)
+        logger.log(step, "val", val_metrics)
+        ckpt.save(step, jax.device_get(state), model_cfg,
+                  metrics=val_metrics)
+    if shutdown.requested:
+        print(f"[shutdown] checkpointed at step {step}; rerun with the same "
+              f"work_dir to resume", flush=True)
+    return state
+
+
+def _fit_loop(shutdown, step, total_steps, state, k_train, train_batches,
+              val_batches, model_cfg, train_cfg, mesh, ckpt, logger, t0):
+    while step < total_steps and not shutdown.requested:
         # background thread overlaps host WAV loading/padding with the
         # device step (the reference uses 8 DataLoader worker processes)
         for raw in PrefetchIterator(iter(train_batches), depth=2):
-            if step >= total_steps:
+            if step >= total_steps or shutdown.requested:
                 break
             if mesh is not None:
                 raw = pmesh.shard_batch(mesh, raw)
@@ -247,13 +313,7 @@ def fit(
                 logger.log(step, "val", val_metrics)
                 ckpt.save(step, jax.device_get(state), model_cfg,
                           metrics=val_metrics)
-    if ckpt.mngr.latest_step() != step:
-        val_metrics = evaluate(state.params, val_batches, model_cfg,
-                               train_cfg, mesh)
-        logger.log(step, "val", val_metrics)
-        ckpt.save(step, jax.device_get(state), model_cfg,
-                  metrics=val_metrics)
-    return state
+    return step, state
 
 
 def evaluate(params, val_batches, model_cfg, train_cfg, mesh=None,

@@ -52,8 +52,10 @@ def main(argv=None):
     import numpy as np
 
     from matcha_tts_tpu.config import AudioConfig, HiFiGANConfig, VocosConfig
-    from matcha_tts_tpu.data.dataset import TextMelDataset, create_filelists
-    from matcha_tts_tpu.train.loop import Checkpointer, MetricsLogger
+    from matcha_tts_tpu.data.dataset import (PrefetchIterator, TextMelDataset,
+                                             create_filelists)
+    from matcha_tts_tpu.train.loop import (Checkpointer, GracefulShutdown,
+                                           MetricsLogger)
     from matcha_tts_tpu.train.vocoder import (create_gan_state, gan_disc_step,
                                               gan_gen_step, random_segment_np)
 
@@ -107,32 +109,46 @@ def main(argv=None):
     def _wav(idx: int) -> np.ndarray:
         return ds.load_audio(idx)
 
-    def sample_batch():
-        return np.stack([
-            random_segment_np(rng, _wav(int(i)), args.segment_size,
-                              acfg.hop_length)
-            for i in rng.integers(0, len(ds), size=args.batch_size)])
+    def batch_stream():
+        for _ in range(start_step, args.steps):
+            yield np.stack([
+                random_segment_np(rng, _wav(int(i)), args.segment_size,
+                                  acfg.hop_length)
+                for i in rng.integers(0, len(ds), size=args.batch_size)])
 
     t0 = time.perf_counter()
-    last_logged = start_step
-    for step in range(start_step, args.steps):
-        audio = sample_batch()
-        state, d_loss = gan_disc_step(state, audio, hcfg, acfg, lr=args.lr,
-                                      weight_norm=args.weight_norm)
-        state, metrics = gan_gen_step(state, audio, hcfg, acfg, lr=args.lr,
-                                      weight_norm=args.weight_norm)
-        if (step + 1) % args.log_every == 0 or step == start_step:
-            dt = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            n = step + 1 - last_logged
-            last_logged = step + 1
-            logger.log(step + 1, "train",
-                       {"disc_loss": float(d_loss),
-                        **{k: float(v) for k, v in metrics.items()},
-                        "sec_per_step": dt / max(n, 1)})
-        if (step + 1) % args.ckpt_every == 0 or step + 1 == args.steps:
-            ckpt.save(step + 1, state)
-    print(f"done: {args.steps} steps -> {work}")
+    last_logged = done = start_step
+    # decode+crop runs in a prefetch thread so host data work overlaps the
+    # device step; SIGTERM/SIGINT checkpoint before exiting (preemptible
+    # TPU slices get a grace period, not a clean stop)
+    with GracefulShutdown() as shutdown:
+        for step, audio in zip(range(start_step, args.steps),
+                               PrefetchIterator(batch_stream(), depth=2)):
+            state, d_loss = gan_disc_step(state, audio, hcfg, acfg,
+                                          lr=args.lr,
+                                          weight_norm=args.weight_norm)
+            state, metrics = gan_gen_step(state, audio, hcfg, acfg,
+                                          lr=args.lr,
+                                          weight_norm=args.weight_norm)
+            done = step + 1
+            if done % args.log_every == 0 or step == start_step:
+                dt = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                n = done - last_logged
+                last_logged = done
+                logger.log(done, "train",
+                           {"disc_loss": float(d_loss),
+                            **{k: float(v) for k, v in metrics.items()},
+                            "sec_per_step": dt / max(n, 1)})
+            if done % args.ckpt_every == 0 or done == args.steps:
+                ckpt.save(done, state)
+            if shutdown.requested:
+                break
+    if shutdown.requested and ckpt.mngr.latest_step() != done:
+        ckpt.save(done, state)
+        print(f"[shutdown] checkpointed at step {done}; rerun with the same "
+              f"--work_dir to resume", flush=True)
+    print(f"done: {done} steps -> {work}")
     return state
 
 

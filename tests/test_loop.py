@@ -214,3 +214,69 @@ def test_checkpointer_generic_states(tmp_path):
     ga = jax.tree.leaves(gstate.gen_params)[0]
     gb = jax.tree.leaves(gback.gen_params)[0]
     np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
+def test_graceful_shutdown_signal_mechanics():
+    """SIGTERM sets the flag without killing the process; a second signal
+    escalates; exiting the context restores the previous handlers."""
+    import os
+    import signal
+    import time
+
+    from matcha_tts_tpu.train.loop import GracefulShutdown
+
+    before = signal.getsignal(signal.SIGTERM)
+    with GracefulShutdown(signals=(signal.SIGTERM,)) as sd:
+        assert not sd.requested
+        os.kill(os.getpid(), signal.SIGTERM)
+        deadline = time.time() + 5.0
+        while not sd.requested and time.time() < deadline:
+            time.sleep(0.01)
+        assert sd.requested  # still alive, flag set
+        with pytest.raises(KeyboardInterrupt):
+            os.kill(os.getpid(), signal.SIGTERM)
+            t = time.time() + 5.0
+            while time.time() < t:  # handler raises between bytecodes
+                time.sleep(0.01)
+    assert signal.getsignal(signal.SIGTERM) is before
+
+
+def test_fit_sigterm_checkpoints_midrun(synth_dataset, tmp_path, monkeypatch):
+    """Preemption safety: a SIGTERM mid-run checkpoints the CURRENT step
+    (not the last ckpt_every boundary) and the run resumes from it."""
+    import os
+    import signal
+
+    from matcha_tts_tpu.train import loop as loop_mod
+
+    orig_logger = loop_mod.MetricsLogger
+
+    class KillingLogger(orig_logger):
+        """Delivers SIGTERM during step 1's train log — deterministic
+        stand-in for an external preemption notice."""
+
+        def log(self, step, split, metrics, extra=None):
+            super().log(step, split, metrics, extra)
+            if split == "train" and step == 1:
+                os.kill(os.getpid(), signal.SIGTERM)
+
+    monkeypatch.setattr(loop_mod, "MetricsLogger", KillingLogger)
+
+    train_fl, val_fl = create_filelists(synth_dataset, val_fraction=0.25)
+    cfg = tiny_model_cfg()
+    tcfg = TrainConfig(batch_size=2, text_buckets=(32, 64),
+                       frame_buckets=(64, 128, 256), log_every_n_steps=1,
+                       ckpt_every_n_steps=100, learning_rate=1e-4)
+    work = tmp_path / "run"
+    state = fit(cfg, tcfg, train_fl, val_fl, work_dir=str(work), max_steps=5)
+    assert int(state.step) == 1  # stopped after the signaled step
+
+    from matcha_tts_tpu.train.loop import Checkpointer
+
+    ck = Checkpointer(work / "ckpt", keep=3, monitor="loss")
+    assert ck.mngr.latest_step() == 1  # saved OFF the ckpt_every grid
+
+    # a fresh (unsignaled) run resumes from the preemption checkpoint
+    monkeypatch.setattr(loop_mod, "MetricsLogger", orig_logger)
+    state2 = fit(cfg, tcfg, train_fl, val_fl, work_dir=str(work), max_steps=2)
+    assert int(state2.step) == 2
