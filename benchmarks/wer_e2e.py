@@ -182,18 +182,19 @@ def make_asr_callable(asr_params, asr_cfg, a, frame_bucket: int):
     return wav_asr_callable(asr_params, asr_cfg, a, frame_bucket)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "nfe", "t_y"))
-def _synth(params, key, x, x_lengths, cfg, nfe, t_y):
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "nfe", "t_y", "temperature"))
+def _synth(params, key, x, x_lengths, cfg, nfe, t_y, temperature=0.667):
     return synthesize(params, key, x, x_lengths, cfg, n_timesteps=nfe,
-                      t_y_max=t_y, temperature=0.667)
+                      t_y_max=t_y, temperature=temperature)
 
 
 def synth_wer(params, cfg, asr_params, asr_cfg, texts, text_bucket: int,
-              frame_bucket: int, nfe: int):
+              frame_bucket: int, nfe: int, temperature: float = 0.667):
     """Synthesize texts -> transcribe the model's mels -> WER stats."""
     x, xl = _tokens(texts, text_bucket)
     out = _synth(params, jax.random.PRNGKey(7), x, xl, cfg, nfe,
-                 frame_bucket)
+                 frame_bucket, temperature)
     mel = np.asarray(out.mel).transpose(0, 2, 1).astype(np.float32)
     lens = np.asarray(out.y_lengths, np.int32)
     for i, l in enumerate(lens):
@@ -214,8 +215,24 @@ def main(argv=None):
     ap.add_argument("--asr-steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--nfe", type=int, default=10)
-    ap.add_argument("--preset", choices=("full", "tiny"), default="full",
-                    help="tiny = CPU smoke config; full = 18M LJSpeech")
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--temperature", type=float, default=0.667)
+    ap.add_argument("--eval-grid", action="store_true",
+                    help="also report held-out WER over an (NFE, "
+                         "temperature) grid to separate under-training "
+                         "from sampling-noise effects")
+    ap.add_argument("--preset", choices=("full", "tiny", "small"),
+                    default="full",
+                    help="tiny = CPU smoke config; small = ~2M commit-sized "
+                         "config; full = 18M LJSpeech")
+    ap.add_argument("--ljspeech-stats", action="store_true",
+                    help="keep the reference's hardcoded LJSpeech mel "
+                         "statistics instead of computing the corpus's own")
+    ap.add_argument("--save-artifacts", default=None,
+                    help="directory to write release-quality artifacts: the "
+                         "trained model as a Lightning-style torch .ckpt "
+                         "(exercises the real converter/loader path), the "
+                         "CTC judge .npz, and golden held-out synth mels")
     args = ap.parse_args(argv)
 
     text_bucket, frame_bucket = 128, 384
@@ -235,8 +252,40 @@ def main(argv=None):
             decoder=DecoderConfig(channels=(16, 16), attention_head_dim=8,
                                   num_heads=2, n_blocks=1, num_mid_blocks=1),
         )
+    elif args.preset == "small":
+        # commit-sized (~2M params, ~8 MB fp32 ckpt): large enough to learn
+        # the tone corpus cleanly, small enough to live in tests/golden/.
+        from matcha_tts_tpu.config import (DecoderConfig,
+                                           DurationPredictorConfig,
+                                           EncoderConfig)
+
+        cfg = MatchaConfig(
+            encoder=EncoderConfig(n_feats=80, n_channels=96,
+                                  filter_channels=256, n_heads=2, n_layers=2),
+            duration_predictor=DurationPredictorConfig(filter_channels_dp=96),
+            decoder=DecoderConfig(channels=(96, 96), attention_head_dim=48,
+                                  num_heads=2, n_blocks=1, num_mid_blocks=1),
+        )
     else:
         cfg = MatchaConfig()  # full-size 18M LJSpeech config
+
+    if not args.ljspeech_stats:
+        # The reference hardcodes LJSpeech data_statistics
+        # (train_standalone.py:802-805); the tone corpus is mostly silence
+        # + sparse chords, so those constants put silence ~2.8 sigma from
+        # zero.  Compute the corpus's own moments like upstream's
+        # generate_data_statistics pass.
+        import dataclasses
+        from matcha_tts_tpu.data.statistics import compute_mel_statistics
+
+        mean, std = compute_mel_statistics(train_fl, cfg.audio,
+                                           frame_buckets=(frame_bucket,))
+        print(f"corpus mel statistics: mean={mean:.4f} std={std:.4f} "
+              f"(LJSpeech defaults: {cfg.audio.mel_mean:.4f} / "
+              f"{cfg.audio.mel_std:.4f})")
+        cfg = dataclasses.replace(
+            cfg, audio=dataclasses.replace(cfg.audio, mel_mean=mean,
+                                           mel_std=std))
     a = cfg.audio
 
     # 1. judge: CTC ASR trained on TRAIN-split ground-truth mels only
@@ -268,23 +317,74 @@ def main(argv=None):
     print("== training Matcha ==")
     tcfg = TrainConfig(batch_size=args.batch, text_buckets=(text_bucket,),
                        frame_buckets=(frame_bucket,), log_every_n_steps=50,
-                       ckpt_every_n_steps=10**9)
+                       learning_rate=args.lr, ckpt_every_n_steps=10**9)
     t0 = time.time()
     state = fit(cfg, tcfg, train_fl, val_fl, work_dir=f"{args.work_dir}/tts",
                 max_steps=args.train_steps, resume=False)
     params = jax.device_get(state.params)
     print(f"matcha trained: {args.train_steps} steps "
           f"in {time.time() - t0:.0f}s")
+    # leave the trained tree on disk so post-hoc analysis (or artifact
+    # regeneration) never needs a retrain
+    import pickle
+
+    from matcha_tts_tpu.config import config_to_json
+    with open(Path(args.work_dir) / "matcha_trained.pkl", "wb") as f:
+        pickle.dump({"params": params, "cfg_json": config_to_json(cfg)}, f)
 
     # 4. intelligibility of the synthesized mels
     results = {"wer_groundtruth_heldout": gt["mean_wer"]}
     for name, texts in (("train", list(CORPUS[:8])), ("heldout", HELD_OUT)):
         r = synth_wer(params, cfg, asr_params, asr_cfg, texts, text_bucket,
-                      frame_bucket, args.nfe)
+                      frame_bucket, args.nfe, args.temperature)
         results[f"wer_synth_{name}"] = r["mean_wer"]
         print(f"synth WER ({name}): {r['mean_wer']:.4f}")
         for t, h in zip(texts, r["hypotheses"]):
             print(f"  ref: {normalize_for_wer(t)}\n  hyp: {h}")
+
+    if args.eval_grid:
+        for nfe in (4, 10, 32):
+            for temp in (0.0, 0.3, 0.667):
+                r = synth_wer(params, cfg, asr_params, asr_cfg, HELD_OUT,
+                              text_bucket, frame_bucket, nfe, temp)
+                key = f"wer_heldout_nfe{nfe}_t{temp}"
+                results[key] = r["mean_wer"]
+                print(f"grid {key}: {r['mean_wer']:.4f}")
+
+    if args.save_artifacts:
+        import torch
+
+        from matcha_tts_tpu.config import config_to_json
+        from matcha_tts_tpu.params.convert import export_matcha
+
+        out = Path(args.save_artifacts)
+        out.mkdir(parents=True, exist_ok=True)
+        # Lightning-style .ckpt (model.-prefixed state_dict +
+        # hyper_parameters), so loading it exercises the exact surface the
+        # reference's inference loader uses (main.py:94-129).
+        sd = export_matcha(params, cfg)
+        ckpt = {
+            "state_dict": {
+                f"model.{k}": torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()},
+            "hyper_parameters": json.loads(config_to_json(cfg)),
+            "epoch": 0,
+            "global_step": args.train_steps,
+        }
+        torch.save(ckpt, out / "matcha_tone.ckpt")
+        save_ctc_asr(out / "ctc_judge.npz", asr_params, asr_cfg)
+        # golden held-out synth mels at a fixed seed (regression anchors)
+        x, xl = _tokens(HELD_OUT, text_bucket)
+        g = _synth(params, jax.random.PRNGKey(7), x, xl, cfg, args.nfe,
+                   frame_bucket, args.temperature)
+        np.savez_compressed(
+            out / "goldens.npz",
+            mel=np.asarray(g.mel, np.float32),
+            y_lengths=np.asarray(g.y_lengths, np.int32),
+            texts=np.array(HELD_OUT), nfe=np.int32(args.nfe),
+            temperature=np.float32(args.temperature),
+            wer_synth_heldout=np.float32(results["wer_synth_heldout"]))
+        print(f"artifacts written to {out}")
 
     print(json.dumps(results))
     return results

@@ -38,24 +38,32 @@ def load_models(checkpoint=None, vocoder=None, cfg=None, hcfg=None,
     naming via params.convert.convert_vocos).
     Returns (matcha_params, cfg, vocoder_params, hcfg).
     """
-    from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig, VocosConfig
+    from matcha_tts_tpu.config import (HiFiGANConfig, MatchaConfig,
+                                       VocosConfig, config_from_dict)
     from matcha_tts_tpu.models import vocoder as vocoder_mod
     from matcha_tts_tpu.models.matcha import init_matcha
     from matcha_tts_tpu.params.convert import (
         convert_hifigan,
         convert_matcha,
         convert_vocos,
+        load_torch_checkpoint,
         load_torch_state_dict,
         vocos_config_from_state_dict,
     )
 
-    cfg = cfg or MatchaConfig()
     if hcfg is None:
         hcfg = VocosConfig() if vocoder_family == "vocos" else HiFiGANConfig()
 
     if checkpoint:
         print(f"Loading Matcha checkpoint from {checkpoint} ...")
-        sd = load_torch_state_dict(checkpoint)
+        sd, hyper = load_torch_checkpoint(checkpoint)
+        if cfg is None and isinstance(hyper, dict) and "encoder" in hyper:
+            # our checkpoints embed the full nested MatchaConfig as
+            # hyper_parameters (config_to_json layout) — self-describing
+            cfg = config_from_dict(MatchaConfig, hyper)
+            print("Model config reconstructed from checkpoint "
+                  "hyper_parameters.")
+        cfg = cfg or MatchaConfig()
         matcha_params = convert_matcha(sd, cfg)
         if "mel_mean" in sd:
             print("Found mel_mean in checkpoint: "
@@ -64,6 +72,7 @@ def load_models(checkpoint=None, vocoder=None, cfg=None, hcfg=None,
                   f"{np.asarray(sd['mel_std']).reshape(-1)[0]}")
     else:
         print("No checkpoint given — using randomly initialized weights.")
+        cfg = cfg or MatchaConfig()
         matcha_params = init_matcha(jax.random.PRNGKey(0), cfg)
 
     family = "vocos" if isinstance(hcfg, VocosConfig) else "hifigan"

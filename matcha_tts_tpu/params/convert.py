@@ -44,12 +44,22 @@ def load_torch_state_dict(path) -> StateDict:
     local cache — the reference's vocoder auto-download surface
     (main.py:139-142), generalized to every checkpoint argument.
     """
+    return load_torch_checkpoint(path)[0]
+
+
+def load_torch_checkpoint(path):
+    """Like `load_torch_state_dict` but also returns the checkpoint's
+    `hyper_parameters` dict (Lightning's save_hyperparameters() payload,
+    train_standalone.py:595) when present, else None — so self-describing
+    checkpoints can reconstruct their model config without the caller
+    knowing it."""
     import torch
 
     from matcha_tts_tpu.utils.fetch import resolve_checkpoint
 
     ckpt = torch.load(resolve_checkpoint(path), map_location="cpu",
                       weights_only=False)
+    hyper = ckpt.get("hyper_parameters") if isinstance(ckpt, dict) else None
     sd = ckpt.get("state_dict", ckpt)
     if "generator" in sd and isinstance(sd["generator"], dict):
         sd = sd["generator"]
@@ -58,7 +68,7 @@ def load_torch_state_dict(path) -> StateDict:
         if k.startswith("model."):
             k = k[6:]
         out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
-    return out
+    return out, hyper
 
 
 def fold_weight_norm(sd: StateDict) -> StateDict:

@@ -243,6 +243,35 @@ def test_torch_checkpoint_file_roundtrip(tmp_path):
     assert_tree_equal(params, back2)
 
 
+def test_self_describing_checkpoint_reconstructs_config(tmp_path):
+    """A checkpoint whose hyper_parameters embed the full nested
+    MatchaConfig (config_to_json layout — what wer_e2e.py --save-artifacts
+    writes) must load through `load_models` with NO cfg argument and come
+    back with the exact non-default config + identical parameters."""
+    import json
+
+    from matcha_tts_tpu.config import config_to_json
+    from matcha_tts_tpu.inference.cli import load_models
+
+    cfg = tiny_cfg()
+    assert cfg != MatchaConfig()
+    params = jax.device_get(init_matcha(jax.random.PRNGKey(3), cfg))
+    sd = C.export_matcha(params, cfg)
+    ckpt = {
+        "state_dict": {f"model.{k}": torch.from_numpy(np.ascontiguousarray(v))
+                       for k, v in sd.items()},
+        "hyper_parameters": json.loads(config_to_json(cfg)),
+        "epoch": 0,
+        "global_step": 1,
+    }
+    path = tmp_path / "self_describing.ckpt"
+    torch.save(ckpt, path)
+
+    mp, cfg2, _, _ = load_models(checkpoint=str(path))
+    assert cfg2 == cfg
+    assert_tree_equal(params, mp)
+
+
 def test_fullsize_lightning_checkpoint_file_to_wav(tmp_path):
     """A synthetic FULL-SIZE Lightning-format .ckpt — `model.`-prefixed
     state_dict, `hyper_parameters`, epoch/global_step, mel-stat buffers —

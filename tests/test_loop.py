@@ -280,3 +280,40 @@ def test_fit_sigterm_checkpoints_midrun(synth_dataset, tmp_path, monkeypatch):
     monkeypatch.setattr(loop_mod, "MetricsLogger", orig_logger)
     state2 = fit(cfg, tcfg, train_fl, val_fl, work_dir=str(work), max_steps=2)
     assert int(state2.step) == 2
+
+
+def test_compute_mel_statistics_matches_unpadded_oracle(synth_dataset):
+    """The bucketed/masked statistics pass must agree with per-utterance
+    unpadded log-mels — padding never biases the moments."""
+    import jax.numpy as jnp
+
+    from matcha_tts_tpu.config import AudioConfig
+    from matcha_tts_tpu.data.dataset import load_wav, parse_filelist
+    from matcha_tts_tpu.data.statistics import compute_mel_statistics
+    from matcha_tts_tpu.ops.stft import log_mel_spectrogram
+
+    train_fl, _ = create_filelists(synth_dataset, val_fraction=0.25)
+    a = AudioConfig()
+    mean, std = compute_mel_statistics(train_fl, a, batch_size=3,
+                                       frame_buckets=(32, 64, 128))
+
+    # oracle: one utterance at a time, generously zero-padded (no bucket
+    # grouping, no masking math — plain numpy accumulation of the first
+    # nf frames, the same frames the utility counts)
+    vals = []
+    pad = (a.n_fft - a.hop_length) // 2
+    for parts in parse_filelist(train_fl):
+        wav, sr = load_wav(parts[0])
+        nf = 1 + (len(wav) + 2 * pad - a.n_fft) // a.hop_length
+        w = np.zeros(len(wav) + 4 * a.n_fft, np.float32)
+        w[: len(wav)] = wav
+        mel = log_mel_spectrogram(jnp.asarray(w[None]), a.sample_rate,
+                                  a.n_fft, a.n_mels, a.hop_length,
+                                  a.win_length, a.f_min, a.f_max)
+        vals.append(np.asarray(mel)[0, :, :nf].reshape(-1))
+    allv = np.concatenate(vals).astype(np.float64)
+    np.testing.assert_allclose(mean, allv.mean(), rtol=0, atol=2e-3)
+    np.testing.assert_allclose(std, allv.std(), rtol=0, atol=2e-3)
+
+    # the synth corpus is nothing like LJSpeech: the defaults would be wrong
+    assert abs(mean - a.mel_mean) > 0.5

@@ -1,0 +1,125 @@
+"""Trained-checkpoint quality regression — files to intelligible speech.
+
+`tests/golden/trained/` holds artifacts produced by ONE real TPU training
+run of `benchmarks/wer_e2e.py --preset small --save-artifacts ...`:
+
+  matcha_tone.ckpt  — Matcha trained on the character-coded tone corpus,
+                      saved as a Lightning-style torch .ckpt (`model.`
+                      prefixes + full nested hyper_parameters), so loading
+                      it exercises the reference's inference-loader surface
+                      (/root/reference/main.py:94-129) with REAL trained
+                      weights rather than the synthetic random trees the
+                      other converter tests use.
+  ctc_judge.npz     — the in-repo CTC ASR judge, trained only on
+                      ground-truth mels of the TRAIN split.
+  goldens.npz       — held-out-text synth mels from the creation run
+                      (fixed seed), plus the WER it measured.
+
+The tests prove, inside the suite and from files alone, the reference's
+quality claim executed end to end: checkpoint file -> converter ->
+synthesize -> ASR -> text, on sentences the acoustic model never saw.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ART = Path(__file__).parent / "golden" / "trained"
+
+pytestmark = pytest.mark.skipif(
+    not (ART / "matcha_tone.ckpt").exists(),
+    reason="trained artifacts not generated (benchmarks/wer_e2e.py "
+           "--save-artifacts)")
+
+TEXT_BUCKET, FRAME_BUCKET = 128, 384  # creation-run buckets (wer_e2e.py)
+
+
+@pytest.fixture(scope="module")
+def loaded():
+    """Checkpoint + judge + goldens, loaded through the public surfaces."""
+    from matcha_tts_tpu.eval.ctc_asr import load_ctc_asr
+    from matcha_tts_tpu.inference.cli import load_models
+
+    matcha_params, cfg, _, _ = load_models(
+        checkpoint=str(ART / "matcha_tone.ckpt"))
+    asr_params, asr_cfg = load_ctc_asr(ART / "ctc_judge.npz")
+    goldens = dict(np.load(ART / "goldens.npz"))
+    return matcha_params, cfg, asr_params, asr_cfg, goldens
+
+
+def _synth_heldout(matcha_params, cfg, goldens):
+    import jax
+    import jax.numpy as jnp
+
+    from matcha_tts_tpu.models.matcha import synthesize
+    from matcha_tts_tpu.text.tokenizer import encode_text
+
+    texts = [str(t) for t in goldens["texts"]]
+    x = np.zeros((len(texts), TEXT_BUCKET), np.int32)
+    xl = np.ones((len(texts),), np.int32)
+    for r, t in enumerate(texts):
+        ids = np.asarray(encode_text(t, add_blank=True))[:TEXT_BUCKET]
+        x[r, : len(ids)] = ids
+        xl[r] = len(ids)
+    out = synthesize(matcha_params, jax.random.PRNGKey(7), jnp.asarray(x),
+                     jnp.asarray(xl), cfg, n_timesteps=int(goldens["nfe"]),
+                     t_y_max=FRAME_BUCKET,
+                     temperature=float(goldens["temperature"]))
+    return texts, np.asarray(out.mel, np.float32), np.asarray(
+        out.y_lengths, np.int32)
+
+
+def test_config_reconstructed_from_hyper_parameters(loaded):
+    """The small-preset config must come from the ckpt file itself —
+    load_models was given no cfg."""
+    from matcha_tts_tpu.config import MatchaConfig
+
+    _, cfg, _, _, _ = loaded
+    assert cfg != MatchaConfig()  # not the default 18M preset
+    assert cfg.encoder.n_feats == 80
+
+
+def test_trained_synth_matches_golden_mels(loaded):
+    """Same ckpt + same seed must reproduce the creation run's held-out
+    mels within cross-platform numeric drift (goldens were made on TPU,
+    the suite runs on CPU)."""
+    matcha_params, cfg, _, _, goldens = loaded
+    _, mel, y_lengths = _synth_heldout(matcha_params, cfg, goldens)
+
+    g_mel = goldens["mel"]
+    g_len = goldens["y_lengths"]
+    np.testing.assert_array_equal(y_lengths, g_len)
+    assert mel.shape == g_mel.shape
+    diffs = []
+    for i, l in enumerate(g_len):
+        d = np.abs(mel[i, :, :l] - g_mel[i, :, :l])
+        diffs.append(float(d.mean()))
+    # mel values span ~[-11, 2] log-mel units; ODE integration over NFE
+    # steps amplifies backend conv/matmul rounding differences, so this is
+    # a drift bound, not bit equality (bit equality per backend is covered
+    # by test_regression.py).
+    assert max(diffs) < 0.35, diffs
+
+
+def test_trained_model_is_intelligible_on_heldout_texts(loaded):
+    """The executed quality metric: synthesize texts the model never saw,
+    transcribe with the committed judge, and bound the WER against the
+    creation run's measurement."""
+    from matcha_tts_tpu.eval.ctc_asr import MEL_PAD_VALUE, transcribe_mels
+    from matcha_tts_tpu.eval.wer import normalize_for_wer, word_error_rate
+
+    matcha_params, cfg, asr_params, asr_cfg, goldens = loaded
+    texts, mel, y_lengths = _synth_heldout(matcha_params, cfg, goldens)
+
+    mel_tc = mel.transpose(0, 2, 1).copy()
+    for i, l in enumerate(y_lengths):
+        mel_tc[i, l:] = MEL_PAD_VALUE
+    hyps = transcribe_mels(asr_params, mel_tc, y_lengths, asr_cfg)
+    wers = [word_error_rate(normalize_for_wer(t), normalize_for_wer(h))
+            for t, h in zip(texts, hyps)]
+    mean_wer = float(np.mean(wers))
+    recorded = float(goldens["wer_synth_heldout"])
+    assert mean_wer <= recorded + 0.15, (mean_wer, recorded, hyps)
