@@ -49,19 +49,24 @@ def loss_fn(params, key, batch, model_cfg: MatchaConfig, prior_loss: bool,
     return out.total, out
 
 
-@functools.partial(jax.jit, static_argnames=("model_cfg", "train_cfg"),
+@functools.partial(jax.jit,
+                   static_argnames=("model_cfg", "mixed_precision",
+                                    "prior_loss"),
                    donate_argnames=("state",))
-def train_step(state: TrainState, key, batch, model_cfg: MatchaConfig,
-               train_cfg: TrainConfig):
-    """One optimizer step; returns (new_state, metrics dict)."""
+def _train_step_impl(state: TrainState, key, batch, lr, grad_clip_norm,
+                     model_cfg: MatchaConfig, mixed_precision: bool,
+                     prior_loss: bool):
     key = jax.random.fold_in(key, state.step)
     # bf16 compute with fp32 master weights = the reference's "16-mixed"
     # (train_standalone.py:764,868); bf16 needs no loss scaling
-    cd = "bfloat16" if train_cfg.mixed_precision else "float32"
+    cd = "bfloat16" if mixed_precision else "float32"
     grads, out = jax.grad(loss_fn, has_aux=True)(
-        state.params, key, batch, model_cfg, train_cfg.prior_loss, cd
+        state.params, key, batch, model_cfg, prior_loss, cd
     )
-    tx = make_optimizer(train_cfg)
+    # lr / clip norm are traced operands (same opt-state structure as
+    # make_optimizer), so hyperparameter changes reuse the compile
+    tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm),
+                     optax.adam(lr))
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     metrics = {
@@ -72,6 +77,24 @@ def train_step(state: TrainState, key, batch, model_cfg: MatchaConfig,
         "grad_norm": optax.global_norm(grads),
     }
     return TrainState(state.step + 1, new_params, new_opt), metrics
+
+
+def train_step(state: TrainState, key, batch, model_cfg: MatchaConfig,
+               train_cfg: TrainConfig):
+    """One optimizer step; returns (new_state, metrics dict).
+
+    The jit compile key covers only what changes the GRAPH
+    (model_cfg, mixed_precision, prior_loss); learning rate and clip
+    norm enter as traced scalars.  On this hardware a train-step compile
+    costs tens of minutes through the remote compile helper, so host-side
+    knobs (log cadence, checkpoint cadence, lr sweeps) must never force
+    a recompile.
+    """
+    return _train_step_impl(
+        state, key, batch,
+        jnp.asarray(train_cfg.learning_rate, jnp.float32),
+        jnp.asarray(train_cfg.grad_clip_norm, jnp.float32),
+        model_cfg, train_cfg.mixed_precision, train_cfg.prior_loss)
 
 
 @functools.partial(jax.jit, static_argnames=("model_cfg", "prior_loss"))
