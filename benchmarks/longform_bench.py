@@ -52,15 +52,20 @@ def main(argv=None):
     p.add_argument("--length-scale", type=float, default=3.0,
                    help="3.0 reproduces trained-model duration statistics "
                         "on random weights (see bench.py)")
+    p.add_argument("--family", default="hifigan",
+                   choices=("hifigan", "vocos"),
+                   help="vocoder family (streaming TTFA is per-family: "
+                        "Vocos chunks run exact chunked iSTFT)")
     args = p.parse_args(argv)
 
-    from matcha_tts_tpu.config import HiFiGANConfig, MatchaConfig
+    from matcha_tts_tpu.config import (HiFiGANConfig, MatchaConfig,
+                                       VocosConfig)
     from matcha_tts_tpu.inference.synthesizer import Synthesizer
-    from matcha_tts_tpu.models import hifigan
+    from matcha_tts_tpu.models import vocoder as vocoder_mod
     from matcha_tts_tpu.models.matcha import init_matcha
 
-    hcfg = HiFiGANConfig()
-    voc = hifigan.init_generator(jax.random.PRNGKey(1), hcfg)
+    hcfg = VocosConfig() if args.family == "vocos" else HiFiGANConfig()
+    voc = vocoder_mod.init_vocoder(jax.random.PRNGKey(1), hcfg)
 
     # -- long-form + streaming (single-speaker config) ---------------------
     cfg = MatchaConfig()
@@ -80,7 +85,8 @@ def main(argv=None):
     wall = time.perf_counter() - t0
     audio_s = len(r.wav) / sr
     rec_long = {
-        "metric": "longform", "sentences": len(syn.split_text(PARAGRAPH)),
+        "metric": "longform", "family": args.family,
+        "sentences": len(syn.split_text(PARAGRAPH)),
         "audio_s": round(audio_s, 2), "wall_s": round(wall, 3),
         "rtf": round(wall / audio_s, 5),
     }
@@ -95,7 +101,8 @@ def main(argv=None):
         n_samples += len(chunk)
     wall = time.perf_counter() - t0
     rec_stream = {
-        "metric": "longform_stream", "audio_s": round(n_samples / sr, 2),
+        "metric": "longform_stream", "family": args.family,
+        "audio_s": round(n_samples / sr, 2),
         "time_to_first_audio_s": round(first, 3),
         "wall_s": round(wall, 3),
         "rtf": round(wall / (n_samples / sr), 5),

@@ -61,6 +61,12 @@ def main():
                          "with fault injection (disconnects, malformed "
                          "payloads, oversized text) and report p99/RSS/"
                          "thread stability")
+    ap.add_argument("--warmup-grid", action="store_true",
+                    help="precompile EVERY reachable (batch, text, frame) "
+                         "bucket triple (Synthesizer.warmup_grid) instead "
+                         "of only the shapes the sample texts induce — "
+                         "kills the mid-request-compile p99 cliff "
+                         "(docs/RESULTS.md 2026-08-18 soak)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -103,9 +109,12 @@ def main():
     print("warmup (precompiling batch shapes) ...", file=sys.stderr)
     t0 = time.perf_counter()
     limit = synth._bucket(args.max_batch, synth.batch_buckets)
-    synth.warmup(SENTENCES,
-                 batch_sizes=[b for b in synth.batch_buckets if b <= limit],
-                 n_timesteps=args.nfe)
+    sizes = [b for b in synth.batch_buckets if b <= limit]
+    if args.warmup_grid:
+        triples = synth.warmup_grid(batch_sizes=sizes, n_timesteps=args.nfe)
+        print(f"warmup_grid: {len(triples)} bucket triples", file=sys.stderr)
+    else:
+        synth.warmup(SENTENCES, batch_sizes=sizes, n_timesteps=args.nfe)
     print(f"warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     def load_round(name):
@@ -243,6 +252,8 @@ def main():
 
         return {
             "metric": "serving_soak",
+            "family": args.family,
+            "warmup_grid": bool(args.warmup_grid),
             "soak_s": round(wall, 1),
             "completed": len(lats),
             "failed": failures[0],

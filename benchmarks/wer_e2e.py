@@ -19,7 +19,13 @@ an in-repo judge on a corpus whose audio provably encodes its text:
      `evaluate_wer` surface (wav -> 16 kHz resample -> ASR callable),
      proving the judge generalizes to utterances it never saw;
   5. synthesize train + held-out texts with the trained model and report
-     WER — memorization and generalization intelligibility.
+     WER — memorization and generalization intelligibility;
+  6. (--vocoder-steps > 0) GAN-train each vocoder family on the TRAIN
+     split's audio and judge the FULL production chain the reference's
+     0.91 % measures (MOS_audiou_generator.ipynb cells 12-14): text ->
+     mel -> vocoder (-> denoiser for HiFi-GAN, hifigan/denoiser.py:62-68)
+     -> wav -> 16 kHz resample -> ASR, per kernel mode (fp32 / bf16
+     serving / int8).
 
 Usage:
   python benchmarks/wer_e2e.py --train-steps 600 --asr-steps 600
@@ -204,7 +210,78 @@ def synth_wer(params, cfg, asr_params, asr_cfg, texts, text_bucket: int,
             for t, h in zip(texts, hyps)]
     return {"mean_wer": float(np.mean(wers)),
             "per_sentence_wer": [float(w) for w in wers],
-            "hypotheses": hyps}
+            "hypotheses": hyps, "mel_btc": mel, "lens": lens}
+
+
+def train_vocoder_gan(family: str, train_wavs, acfg, steps: int,
+                      batch: int = 16, segment: int = 8192, seed: int = 0,
+                      report_every: int = 200, lr: float = 2e-4, hcfg=None):
+    """GAN-train one vocoder family from scratch on raw training audio.
+
+    Returns (gen_params on host, family config).  Same recipe as
+    benchmarks/vocoder_gan_e2e.py (paper discriminators per family); the
+    reference itself never trains its vendored GAN stack
+    (hifigan/models.py:209+), it ships pretrained weights — here the
+    corpus is in-repo so the weights must be earned on hardware.
+    """
+    from matcha_tts_tpu.config import HiFiGANConfig, VocosConfig
+    from matcha_tts_tpu.train.vocoder import (create_gan_state, gan_disc_step,
+                                              gan_gen_step, random_segment_np)
+
+    if family == "vocos":
+        hcfg, discs = hcfg or VocosConfig(), ("mpd", "mrd")
+    else:
+        hcfg, discs = hcfg or HiFiGANConfig(), ("mpd", "msd")
+    state = create_gan_state(jax.random.PRNGKey(seed), hcfg,
+                             learning_rate=lr, discriminators=discs)
+    rng = np.random.default_rng(seed)
+    for step in range(steps):
+        audio = jnp.asarray(np.stack([
+            random_segment_np(rng, train_wavs[int(i)], segment,
+                              acfg.hop_length)
+            for i in rng.integers(0, len(train_wavs), size=batch)]))
+        state, d_loss = gan_disc_step(state, audio, hcfg, acfg)
+        state, metrics = gan_gen_step(state, audio, hcfg, acfg)
+        if report_every and (step + 1) % report_every == 0:
+            print(f"  {family} gan step {step + 1}: "
+                  f"mel_l1 {float(metrics['mel_l1']):.4f} "
+                  f"disc {float(d_loss):.4f}")
+    return jax.device_get(state.gen_params), hcfg
+
+
+def vocoded_wer(mel_btc: np.ndarray, lens: np.ndarray, texts, gen_params,
+                vcfg, acfg, asr_fn, denoise_strength: float = 0.0,
+                dtype=None):
+    """Judge mels through the wav surface: vocoder (-> denoiser) -> crop
+    -> `evaluate_wer` (16 kHz resample + ASR callable inside).
+
+    mel_btc: (B, T, n_mels) denormalized log-mel, frames beyond `lens`
+    at the mel floor.  `dtype` = jnp.bfloat16 reproduces the serving cast
+    (params and activations); None keeps fp32.
+    """
+    from matcha_tts_tpu.models import vocoder as vocoder_mod
+
+    dt = dtype or jnp.float32
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dt), gen_params)
+    dn = None
+    if denoise_strength > 0.0:
+        from matcha_tts_tpu.models.denoiser import denoise, make_denoiser
+
+        dn = make_denoiser(gen_params, vcfg)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(mel):
+        wav = vocoder_mod.generate(params, mel.astype(dt),
+                                   vcfg).astype(jnp.float32)
+        if dn is not None:
+            wav = denoise(dn, wav, denoise_strength)
+        return wav
+
+    wav = np.asarray(run(jnp.asarray(mel_btc, np.float32)))
+    hop = acfg.hop_length
+    wavs = [wav[i, : min(int(l) * hop, wav.shape[1])]
+            for i, l in enumerate(lens)]
+    return evaluate_wer(texts, wavs, acfg.sample_rate, asr_fn)
 
 
 def main(argv=None):
@@ -217,6 +294,15 @@ def main(argv=None):
     ap.add_argument("--nfe", type=int, default=10)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--temperature", type=float, default=0.667)
+    ap.add_argument("--vocoder-steps", type=int, default=0,
+                    help="> 0: GAN-train the vocoder families on the tone "
+                         "corpus and report WAV-surface WER (the chain the "
+                         "reference's 0.91%% measures)")
+    ap.add_argument("--vocoder-families", default="hifigan,vocos")
+    ap.add_argument("--vocoder-batch", type=int, default=16)
+    ap.add_argument("--segment", type=int, default=8192)
+    ap.add_argument("--denoise-strength", type=float, default=2.5e-4,
+                    help="HiFi-GAN denoiser strength (main.py:117)")
     ap.add_argument("--eval-grid", action="store_true",
                     help="also report held-out WER over an (NFE, "
                          "temperature) grid to separate under-training "
@@ -334,13 +420,70 @@ def main(argv=None):
 
     # 4. intelligibility of the synthesized mels
     results = {"wer_groundtruth_heldout": gt["mean_wer"]}
+    synth_sets = {}
     for name, texts in (("train", list(CORPUS[:8])), ("heldout", HELD_OUT)):
         r = synth_wer(params, cfg, asr_params, asr_cfg, texts, text_bucket,
                       frame_bucket, args.nfe, args.temperature)
+        synth_sets[name] = (texts, r)
         results[f"wer_synth_{name}"] = r["mean_wer"]
         print(f"synth WER ({name}): {r['mean_wer']:.4f}")
         for t, h in zip(texts, r["hypotheses"]):
             print(f"  ref: {normalize_for_wer(t)}\n  hyp: {h}")
+
+    # 5. vocoder inside the judged loop: text -> mel -> vocoder
+    #    (-> denoiser) -> wav -> 16 kHz -> ASR, the exact chain the
+    #    reference's 0.91 % transcribes (MOS_audiou_generator.ipynb 12-14)
+    if args.vocoder_steps > 0:
+        import dataclasses as _dc
+
+        from matcha_tts_tpu.data.dataset import load_wav, parse_filelist
+
+        train_wavs = [load_wav(p[0])[0] for p in parse_filelist(train_fl)]
+        # ground-truth-mel resynthesis set: isolates vocoder damage from
+        # acoustic-model damage (same held-out texts, true features)
+        gt_mel_held, gt_lens_held = featurize_texts(HELD_OUT, a, frame_bucket,
+                                                    noise_seed=2)
+        on_tpu = jax.default_backend() not in ("cpu",)
+        for family in args.vocoder_families.split(","):
+            family = family.strip()
+            print(f"== GAN-training {family} on the tone corpus ==")
+            t0 = time.time()
+            gen_params, vcfg = train_vocoder_gan(
+                family, train_wavs, a, steps=args.vocoder_steps,
+                batch=args.vocoder_batch, segment=args.segment)
+            print(f"{family} trained: {args.vocoder_steps} steps in "
+                  f"{time.time() - t0:.0f}s")
+            with open(Path(args.work_dir) / f"{family}_gen.pkl", "wb") as f:
+                pickle.dump({"gen_params": gen_params,
+                             "family": family}, f)
+            dstr = (args.denoise_strength if family == "hifigan" else 0.0)
+            modes = [("fp32", vcfg, None),
+                     ("bf16", vcfg, jnp.bfloat16)]
+            if family == "hifigan" and on_tpu:
+                # int8 weight quantization rides the Pallas kernels; on CPU
+                # mrf_kernel falls back to XLA so the mode would silently
+                # measure bf16 twice.
+                modes.append(("int8",
+                              _dc.replace(vcfg, mrf_kernel="int8"),
+                              jnp.bfloat16))
+            for mode, mcfg, dt in modes:
+                for name in ("heldout", "train"):
+                    texts, r = synth_sets[name]
+                    w = vocoded_wer(r["mel_btc"], r["lens"], texts,
+                                    gen_params, mcfg, a, asr_fn,
+                                    denoise_strength=dstr, dtype=dt)
+                    key = f"wer_wav_{family}_{mode}_{name}"
+                    results[key] = w["mean_wer"]
+                    print(f"{key}: {w['mean_wer']:.4f}")
+                    if name == "heldout":
+                        for h in w["hypotheses"]:
+                            print(f"  hyp: {h}")
+                # vocoder-only damage: resynthesize ground-truth mels
+                w = vocoded_wer(gt_mel_held, gt_lens_held, HELD_OUT,
+                                gen_params, mcfg, a, asr_fn,
+                                denoise_strength=dstr, dtype=dt)
+                results[f"wer_wav_{family}_{mode}_gtmel"] = w["mean_wer"]
+                print(f"wer_wav_{family}_{mode}_gtmel: {w['mean_wer']:.4f}")
 
     if args.eval_grid:
         for nfe in (4, 10, 32):

@@ -623,12 +623,16 @@ class Synthesizer:
                                  n_timesteps: int = 10,
                                  temperature: float = 0.667,
                                  length_scale: float = 1.0,
-                                 seed: int = 0) -> List[SynthesisResult]:
+                                 seed: int = 0,
+                                 spk: Optional[int] = None,
+                                 ) -> List[SynthesisResult]:
         """Pod-scale batched synthesis: the batch axis is sharded over the
         mesh's "data" axis, so each chip vocodes its shard and XLA keeps
         everything local (no collectives needed for inference).
 
         Texts are padded to a multiple of the mesh size per bucket group.
+        `spk` applies to the whole batch, as in `synthesize_batch`
+        (reference multi-speaker conditioning: model.py:527-528,977-979).
         """
         from matcha_tts_tpu.parallel import mesh as pmesh
 
@@ -656,14 +660,17 @@ class Synthesizer:
             xd = jax.device_put(x, sharding)
             xld = jax.device_put(x_lengths, sharding)
             nid = jax.device_put(noise_ids, sharding)
+            spks = (jax.device_put(np.full((b,), spk, np.int32), sharding)
+                    if spk is not None else None)
             t_y = self.predict_frame_bucket(
-                xd, xld, length_scale, buckets=self.batch_frame_buckets)
+                xd, xld, length_scale, spks=spks,
+                buckets=self.batch_frame_buckets)
             self.stats["calls"] += 1
             packed, out = _synthesize_packed(
                 self.matcha_params, self.vocoder_params,
                 jax.random.PRNGKey(seed), xd, xld,
                 self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
-                temperature, length_scale,
+                temperature, length_scale, spks=spks,
                 compute_dtype=self.compute_dtype,
                 bias_spec=self._bias_spec,
                 denoise_strength=self.denoise_strength,

@@ -153,6 +153,31 @@ def test_sharded_batch_synthesis():
     np.testing.assert_allclose(rs[0].wav, rs1[0].wav, atol=3.2e-5)
 
 
+def test_sharded_batch_multispeaker():
+    """`spk` parity between the sharded and unsharded batch paths
+    (reference conditioning: model.py:527-528,977-979)."""
+    from matcha_tts_tpu.parallel.mesh import make_mesh
+
+    cfg, hcfg, mp, vp = tiny_models()
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, n_spks=4, spk_emb_dim=8)
+    mp = init_matcha(jax.random.PRNGKey(0), cfg)
+    syn = Synthesizer(mp, cfg, vp, hcfg, text_buckets=(32,),
+                      frame_buckets=(64,), batch_frame_buckets=(64,))
+    mesh = make_mesh(8)
+    texts = [f"speaker test {i}" for i in range(4)]
+    rs2 = syn.synthesize_batch_sharded(texts, mesh, n_timesteps=2, spk=2)
+    rs0 = syn.synthesize_batch_sharded(texts, mesh, n_timesteps=2, spk=0)
+    assert np.abs(rs2[0].wav[: len(rs0[0].wav)]
+                  - rs0[0].wav[: len(rs2[0].wav)]).max() > 1e-5, (
+        "spk had no effect on the sharded path")
+    # matches the unsharded batch path at the same speaker (up to one
+    # int16 PCM quantization step; see test_sharded_batch_synthesis)
+    ru = syn.synthesize_batch(texts[:2], n_timesteps=2, spk=2)
+    np.testing.assert_allclose(rs2[0].wav, ru[0].wav, atol=3.2e-5)
+
+
 def test_long_form_crossfade():
     cfg, hcfg, mp, vp = tiny_models()
     syn = Synthesizer(mp, cfg, vp, hcfg,
