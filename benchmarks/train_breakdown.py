@@ -6,13 +6,20 @@ training forward (reference semantics: train_standalone.py:623-667) with
 the chained-iteration method so the MAS scan, the encoder, and the U-Net
 fwd+bwd can be attributed separately.
 
+`--parts` additionally attributes the opaque "CFM fwd+bwd" number to the
+U-Net's components at their real shapes (resnet blocks, transformer
+blocks, attention alone, the optimizer) — fwd and fwd+bwd each — with
+analytic matmul-FLOP speed-of-light bounds, so the backward pass can be
+judged against the v5e bf16 peak instead of hand-waved.
+
 Usage: python benchmarks/train_breakdown.py [--batch 32] [--t-x 256]
-       [--t-y 768] [--dtype bfloat16]
+       [--t-y 768] [--dtype bfloat16] [--parts]
 """
 
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -41,6 +48,188 @@ def chained_time(f, *args, n_samples: int = 3) -> float:
     return float(np.median(ts))
 
 
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def _fold_tree(tree):
+    return sum(jnp.sum(leaf.astype(jnp.float32))
+               for leaf in jax.tree.leaves(tree))
+
+
+def part_times(fn, params, x, *extra, n_samples: int = 3):
+    """(fwd_ms, fwd+bwd_ms) for `fn(params, x, *extra)` with the chained
+    method; bwd is wrt params (the training direction)."""
+
+    def loss(p, z):
+        return jnp.sum(fn(p, x + z, *extra).astype(jnp.float32))
+
+    @jax.jit
+    def fwd_chain(key):
+        def body(i, acc):
+            return acc + loss(params, (acc * 0).astype(x.dtype))
+        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
+
+    @jax.jit
+    def fb_chain(key):
+        def body(i, acc):
+            l, g = jax.value_and_grad(loss)(params,
+                                            (acc * 0).astype(x.dtype))
+            return acc + l + 0.0 * _fold_tree(g)
+        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
+
+    return (chained_time(fwd_chain, n_samples=n_samples) * 1e3,
+            chained_time(fb_chain, n_samples=n_samples) * 1e3)
+
+
+def run_parts(args, results):
+    """Per-component U-Net attribution at training shapes (bf16)."""
+    from matcha_tts_tpu.config import MatchaConfig, TrainConfig
+    from matcha_tts_tpu.models import unet
+    from matcha_tts_tpu.models.text_encoder import text_encoder
+    from matcha_tts_tpu.train.train_state import make_optimizer
+
+    cfg = MatchaConfig()
+    dc = cfg.decoder
+    cd = jnp.dtype(args.dtype)
+    b, t_y = args.batch, args.t_y
+    c = dc.channels[0]                      # 256
+    time_dim = c * 4
+    heads, dim_head = dc.num_heads, dc.attention_head_dim
+    inner = heads * dim_head
+    rng = np.random.default_rng(1)
+    key = jax.random.PRNGKey(0)
+
+    def bf(a):
+        return jnp.asarray(a, cd)
+
+    def cast(p):
+        return jax.tree.map(lambda a: a.astype(cd), p)
+
+    mask768 = jnp.ones((b, t_y), cd)
+    mask384 = jnp.ones((b, t_y // 2), cd)
+    t_emb = bf(rng.standard_normal((b, time_dim)))
+
+    # trivial-op chain: the per-iteration dispatch+fetch floor to subtract
+    @jax.jit
+    def trivial_chain(key):
+        def body(i, acc):
+            return acc + jnp.float32(1.0) + acc * 0
+        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
+
+    floor_ms = chained_time(trivial_chain) * 1e3
+    results["parts_dispatch_floor_ms"] = floor_ms
+
+    # FLOP helpers (matmul FLOPs only; norms/activations are bandwidth)
+    def conv_f(t, ci, co, k=3):
+        return 2 * b * t * k * ci * co
+
+    def lin_f(t, ci, co):
+        return 2 * b * t * ci * co
+
+    def resnet_f(t, ci, co):
+        return conv_f(t, ci, co) + conv_f(t, co, co) + conv_f(t, ci, co, 1)
+
+    def attn_f(t):
+        # q/k/v/out projections + 2 einsums over T^2
+        return 3 * lin_f(t, c, inner) + lin_f(t, inner, c) \
+            + 4 * b * t * t * inner
+
+    def tb_f(t):
+        return attn_f(t) + lin_f(t, c, 4 * c) + lin_f(t, 4 * c, c)
+
+    parts = []  # (name, fn, params, x, extra, fwd_flops)
+
+    def add_resnet(name, t, ci, mask):
+        p = cast(unet.init_resnet_block1d(key, ci, c, time_dim))
+        x = bf(rng.standard_normal((b, t, ci)))
+        parts.append((name, unet.resnet_block1d, p, x, (mask, t_emb),
+                      resnet_f(t, ci, c)))
+
+    def add_tb(name, t, mask):
+        p = cast(unet.init_transformer_block(key, c, heads, dim_head))
+        x = bf(rng.standard_normal((b, t, c)))
+        fn = functools.partial(unet.transformer_block, heads=heads,
+                               dim_head=dim_head)
+        parts.append((name, fn, p, x, (mask,), tb_f(t)))
+
+    def add_attn(name, t, mask):
+        p = cast(unet.init_attention(key, c, heads, dim_head))
+        x = bf(rng.standard_normal((b, t, c)))
+        fn = functools.partial(unet.attention, heads=heads,
+                               dim_head=dim_head)
+        parts.append((name, fn, p, x, (mask,), attn_f(t)))
+
+    t_half = t_y // 2
+    add_resnet(f"resnet_in160_t{t_y}", t_y, 2 * cfg.encoder.n_feats, mask768)
+    add_resnet(f"resnet_c256_t{t_half}", t_half, c, mask384)
+    add_resnet(f"resnet_skip512_t{t_half}", t_half, 2 * c, mask384)
+    add_resnet(f"resnet_skip512_t{t_y}", t_y, 2 * c, mask768)
+    add_tb(f"tblock_t{t_y}", t_y, mask768)
+    add_tb(f"tblock_t{t_half}", t_half, mask384)
+    add_attn(f"attn_t{t_y}", t_y, mask768)
+    add_attn(f"attn_t{t_half}", t_half, mask384)
+
+    # text encoder fwd+bwd at its real shapes
+    from matcha_tts_tpu.models.matcha import init_matcha
+
+    full = init_matcha(jax.random.PRNGKey(0), cfg)
+    x_tok = jnp.asarray(rng.integers(1, cfg.n_vocab, size=(b, args.t_x)),
+                        jnp.int32)
+    xl = jnp.asarray(np.full((b,), args.t_x), jnp.int32)
+
+    def enc_fn(p, tok, lengths):
+        mu, logw, m = text_encoder(p, tok, lengths, cfg.encoder,
+                                   cfg.duration_predictor, compute_dtype=cd)
+        return mu.astype(jnp.float32) + 0.0 * jnp.sum(logw)
+
+    def enc_loss(p, z):
+        return jnp.sum(enc_fn(p, x_tok + z.astype(jnp.int32), xl))
+
+    @jax.jit
+    def enc_fb_chain(key):
+        def body(i, acc):
+            l, g = jax.value_and_grad(enc_loss)(full["encoder"], acc * 0)
+            return acc + l + 0.0 * _fold_tree(g)
+        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
+
+    results["parts_encoder_fwd_bwd_ms"] = round(
+        chained_time(enc_fb_chain) * 1e3, 3)
+
+    # optimizer alone (clip-by-global-norm + Adam on the 18M tree)
+    tcfg = TrainConfig(batch_size=b)
+    tx = make_optimizer(tcfg)
+    opt_state = tx.init(full)
+    grads = jax.tree.map(lambda a: jnp.ones_like(a) * 1e-4, full)
+
+    @jax.jit
+    def opt_chain(key):
+        def body(i, carry):
+            acc, os = carry
+            g = jax.tree.map(lambda a: a + acc * 0, grads)
+            updates, os = tx.update(g, os, full)
+            return acc + _fold_tree(updates) * 0 + 1.0, os
+        acc, _ = jax.lax.fori_loop(0, CHAIN, body,
+                                   (jnp.float32(0), opt_state))
+        return acc
+
+    results["parts_optimizer_ms"] = round(chained_time(opt_chain) * 1e3, 3)
+
+    print(f"{'part':24s} {'fwd ms':>8s} {'f+b ms':>8s} {'bwd/fwd':>8s} "
+          f"{'f+b TF/s':>9s} {'MFU%':>6s}  (floor {floor_ms:.2f} ms "
+          f"subtracted)", file=sys.stderr)
+    for name, fn, p, x, extra, fflops in parts:
+        fwd_ms, fb_ms = part_times(fn, p, x, *extra)
+        fwd_d = max(fwd_ms - floor_ms, 1e-3)
+        fb_d = max(fb_ms - floor_ms, 1e-3)
+        tfs = 3 * fflops / fb_d / 1e9   # fwd+bwd ~ 3x fwd matmul FLOPs
+        mfu = 100.0 * tfs / V5E_BF16_PEAK_TFLOPS
+        results[f"part_{name}_fwd_ms"] = round(fwd_ms, 3)
+        results[f"part_{name}_fwd_bwd_ms"] = round(fb_ms, 3)
+        print(f"{name:24s} {fwd_d:8.2f} {fb_d:8.2f} "
+              f"{(fb_d - fwd_d) / fwd_d:8.2f} {tfs:9.1f} {mfu:6.1f}",
+              file=sys.stderr)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
@@ -48,7 +237,19 @@ def main(argv=None):
     p.add_argument("--t-y", type=int, default=768)
     p.add_argument("--dtype", default="bfloat16",
                    choices=("float32", "bfloat16"))
+    p.add_argument("--parts", action="store_true",
+                   help="per-component U-Net fwd/bwd attribution + SOL")
+    p.add_argument("--parts-only", action="store_true",
+                   help="skip the stage breakdown, run only --parts")
     args = p.parse_args(argv)
+
+    if args.parts_only:
+        results = {}
+        run_parts(args, results)
+        out = {"batch": args.batch, "t_x": args.t_x, "t_y": args.t_y,
+               "dtype": args.dtype, "chain": CHAIN, **results}
+        print(json.dumps(out))
+        return out
 
     from matcha_tts_tpu.config import MatchaConfig, TrainConfig
     from matcha_tts_tpu.models import cfm
@@ -195,8 +396,11 @@ def main(argv=None):
         ts.append((time.perf_counter() - t0) / CHAIN)
     results["train_step_ms"] = float(np.median(ts)) * 1e3
 
+    results = {k: round(v, 3) for k, v in results.items()}
+    if args.parts:
+        run_parts(args, results)
     out = {"batch": b, "t_x": t_x, "t_y": t_y, "dtype": args.dtype,
-           "chain": CHAIN, **{k: round(v, 3) for k, v in results.items()}}
+           "chain": CHAIN, **results}
     print(json.dumps(out))
     return out
 
