@@ -81,8 +81,15 @@ HOP = 256
 # low tone (a silent space is confusable with the inter-character gaps).
 # Frequencies sit inside the 0-8 kHz acoustic mel band and below the 16 kHz
 # Nyquist that `resample_to_16k` (the Whisper-surface resample) imposes.
+# Col tones are spaced GEOMETRICALLY (x1.25): the mel filterbank is
+# log-spaced above ~1 kHz, so the original linear 400 Hz spacing left
+# adjacent cols only 2.5-3.6 mel bins apart — below the trained
+# generator's spectral resolution (measured 2026-08-20: a converged
+# model substituted same-row / adjacent-col characters, 'lazy'->'hasy').
+# Geometric spacing keeps every adjacent pair ~6 mel bins apart, matching
+# the rows' measured-learnable ~6.6-bin spacing.
 ROW_HZ = (400.0, 800.0, 1200.0, 1600.0, 2000.0)
-COL_HZ = (2600.0, 3000.0, 3400.0, 3800.0, 4200.0, 4600.0)
+COL_HZ = (2400.0, 3000.0, 3750.0, 4700.0, 5900.0, 7300.0)
 SPACE_HZ = 250.0
 TONE_SEC = 0.060   # per-character chord length (~5 mel frames)
 GAP_SEC = 0.030    # inter-character silence: ~2.6 frames, so repeated

@@ -9,11 +9,13 @@ in-repo so the full synthesize -> transcribe -> WER loop actually executes
 """
 
 from matcha_tts_tpu.eval.wer import (evaluate_wer, normalize_for_wer,
-                                     resample_to_16k, word_error_rate)
+                                     resample, resample_to_16k,
+                                     word_error_rate)
 
 __all__ = [
     "evaluate_wer",
     "normalize_for_wer",
+    "resample",
     "resample_to_16k",
     "word_error_rate",
 ]

@@ -216,10 +216,13 @@ def wav_asr_callable(params: Dict, cfg: CTCASRConfig, audio,
                                    audio.f_max)
 
     def asr(wav16k: np.ndarray) -> str:
-        t_src = np.arange(len(wav16k)) / 16000.0
-        n_dst = int(len(wav16k) * audio.sample_rate / 16000.0)
-        t_dst = np.arange(n_dst) / audio.sample_rate
-        wav = np.interp(t_dst, t_src, wav16k).astype(np.float32)
+        from matcha_tts_tpu.eval.wer import resample
+
+        # anti-aliased 16k -> judge-rate resample: the linear-interp
+        # version attenuated near-Nyquist tones by sinc^2 (see
+        # eval/wer.py::resample), corrupting high-frequency content the
+        # log-mel front end then reads
+        wav = resample(wav16k, 16000, audio.sample_rate)
         wav = wav[:wav_bucket]
         batch = np.zeros((1, wav_bucket), np.float32)
         batch[0, : len(wav)] = wav

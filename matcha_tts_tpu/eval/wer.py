@@ -32,11 +32,33 @@ def normalize_for_wer(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+def resample(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase windowed-sinc resample (host-side, eval-only).
+
+    The reference's WER loop hands torchaudio-resampled 16 kHz audio to
+    Whisper; a linear-interp stand-in attenuates content near Nyquist by
+    sinc^2 (measured: 7.3 kHz tones lost ~half their energy through the
+    22.05k->16k->22.05k round trip, breaking the tone-corpus judge), so
+    this is a real anti-aliased resampler.  Output length matches the
+    int(len * sr_out / sr_in) convention of the old linear version.
+    """
+    if sr_in == sr_out:
+        return np.asarray(wav, np.float32)
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(sr_in, sr_out)
+    out = resample_poly(np.asarray(wav, np.float64), sr_out // g, sr_in // g)
+    n = int(len(wav) * sr_out / sr_in)
+    if len(out) < n:
+        out = np.pad(out, (0, n - len(out)))
+    return out[:n].astype(np.float32)
+
+
 def resample_to_16k(wav: np.ndarray, sr: int) -> np.ndarray:
-    """Whisper expects 16 kHz; linear-interp resample (host-side, eval-only)."""
-    t_src = np.arange(len(wav)) / sr
-    t_dst = np.arange(int(len(wav) * 16000 / sr)) / 16000
-    return np.interp(t_dst, t_src, wav).astype(np.float32)
+    """Whisper expects 16 kHz (MOS_audiou_generator.ipynb cell 13)."""
+    return resample(wav, sr, 16000)
 
 
 def evaluate_wer(sentences, wavs, sr: int, asr) -> dict:

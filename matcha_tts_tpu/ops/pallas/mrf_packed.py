@@ -692,6 +692,13 @@ def mrf_packed_up(x: jnp.ndarray, wup: jnp.ndarray, bup: jnp.ndarray,
             # concat temporaries live; measured 22.2 MB scoped VMEM at
             # C_out=64 tile=512 fp32 — quarter the tile to fit.
             tile = max(128, tile // 4)
+        else:
+            # bf16 also carries the upsample scratches (+ the conv_post
+            # second output on the last level): measured 17.64 MB scoped
+            # VMEM at tile=2048 (Mosaic AOT OOM, batch-8 T=384 vocode,
+            # 2026-08-20) — cap at 1024 (~12 MB; halo recompute grows
+            # ~3%, unmeasurable at level granularity).
+            tile = min(tile, 1024)
     n_tiles = tp // tile
     specs, n_mats, halo = packed_meta(kernel_sizes, dilations, r_out)
     up_qs = upsample_meta(stride, up_k, up_padding, r_in)
