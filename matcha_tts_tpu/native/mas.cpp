@@ -1,12 +1,22 @@
 // Monotonic Alignment Search — native host kernel.
 //
-// C++ equivalent of the reference's Numba-JIT DP (reference:
-// /root/reference/train_standalone.py:241-277): banded forward DP
-// maximizing the Gaussian log-prior along a monotonic path, then a
-// backtrack emitting a one-hot path.  Semantics (band limits, boundary
-// cases, strict-greater backtrack) match the Python oracle in
-// matcha_tts_tpu/ops/mas.py exactly; used for parity testing the on-device
-// associative-scan kernel and as a fast host fallback.
+// C++ implementation of the TRUE Glow-TTS MAS recurrence.  NOTE: the
+// reference's own rewrite (/root/reference/train_standalone.py:241-277)
+// is broken — its recurrence reads max(path[x-1, y], path[x, y-1]) where
+// path[x-1, y] is the CURRENT column just written by the same x loop
+// (and the correctly-fetched v_cur from column y-1 is dead code), which
+// degenerates the path to "first token absorbs nearly all frames".  See
+// matcha_tts_tpu/ops/mas.py's module docstring for the measurement.  The
+// correct recurrence reads only column y-1:
+//
+//   dp[x, y] = value[x, y] + max(dp[x, y-1]   if x <  y else -inf,
+//                                dp[x-1, y-1] if x >  0 else
+//                                (0 if y == 0 else -inf))
+//
+// Backtrack steps down on index == y or a strictly better down-neighbor.
+// Semantics match the Python oracle in matcha_tts_tpu/ops/mas.py exactly;
+// used for parity testing the on-device kernels and as a fast host
+// fallback.
 //
 // Build: see matcha_tts_tpu/native/build.py (g++ -O3 -shared -fPIC
 // [-fopenmp]).
@@ -14,6 +24,11 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <vector>
+
+namespace {
+constexpr float kNeg = -1e30f;
+}
 
 extern "C" {
 
@@ -36,33 +51,31 @@ void maximum_path_batch(float* paths, const float* values,
     const int32_t ty = t_ys[i];
     if (tx <= 0 || ty <= 0) continue;
 
-    // forward DP (train_standalone.py:250-267 semantics)
+    std::vector<float> dp((int64_t)tx * ty, kNeg);
+
+    // forward DP (true Glow-TTS recurrence; both reads from column y-1)
     for (int32_t y = 0; y < ty; ++y) {
       const int32_t x_lo = std::max(0, tx + y - ty);
       const int32_t x_hi = std::min(tx, y + 1);
       for (int32_t x = x_lo; x < x_hi; ++x) {
-        float v_prev;
-        if (x == 0) {
-          v_prev = (y == 0) ? 0.0f : path[(int64_t)x * t_y_max + (y - 1)];
-        } else if (y == 0) {
-          v_prev = path[(int64_t)(x - 1) * t_y_max + y];
-        } else {
-          v_prev = std::max(path[(int64_t)(x - 1) * t_y_max + y],
-                            path[(int64_t)x * t_y_max + (y - 1)]);
-        }
-        path[(int64_t)x * t_y_max + y] = v_prev + value[(int64_t)x * t_y_max + y];
+        const float stay =
+            (x < y) ? dp[(int64_t)x * ty + (y - 1)] : kNeg;
+        const float down =
+            (x == 0) ? ((y == 0) ? 0.0f : kNeg)
+                     : dp[(int64_t)(x - 1) * ty + (y - 1)];
+        dp[(int64_t)x * ty + y] =
+            std::max(stay, down) + value[(int64_t)x * t_y_max + y];
       }
     }
 
-    // backtrack (train_standalone.py:269-276): strict '>' steps down
+    // backtrack: step down on index == y or a strictly better neighbor
     int32_t index = tx - 1;
     for (int32_t y = ty - 1; y >= 0; --y) {
-      for (int32_t x = 0; x < tx; ++x) path[(int64_t)x * t_y_max + y] = 0.0f;
       path[(int64_t)index * t_y_max + y] = 1.0f;
-      if (index > 0 && y > 0) {
-        const float up = path[(int64_t)(index - 1) * t_y_max + (y - 1)];
-        const float stay = path[(int64_t)index * t_y_max + (y - 1)];
-        if (up > stay) --index;
+      if (index > 0 &&
+          (index == y || dp[(int64_t)(index - 1) * ty + (y - 1)] >
+                             dp[(int64_t)index * ty + (y - 1)])) {
+        --index;
       }
     }
   }

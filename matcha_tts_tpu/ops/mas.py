@@ -5,25 +5,37 @@ runs a Numba-JIT scalar DP + backtrack per batch item, and copies the
 one-hot path back (reference: /root/reference/train_standalone.py:239-325).
 That device->host->device round trip serializes training.
 
-Here the same DP runs entirely on device:
+DELIBERATE DEVIATION — the reference's own MAS rewrite is broken.  Its
+recurrence reads `max(path[x-1, y], path[x, y-1])`
+(train_standalone.py:263-266): `path[x-1, y]` is the CURRENT column,
+just written by the same x-loop, and the correctly-computed `v_cur`
+from column y-1 is assigned and never used (dead code at :252-256).
+That "max over the prefix of the current column" DP makes the first
+token's score dominate every later cell, so the returned path
+degenerates to "token 1 absorbs nearly all frames" — measured here on
+an ideal-conditioning probe where the true path scores -30.6k against
+the degenerate path's -45.5k, yet the reference recurrence returns the
+degenerate one.  A model trained against it never learns alignment
+(the reference's shipped 0.91%-WER checkpoint was necessarily trained
+with the correct upstream Glow-TTS MAS, not with this file's rewrite).
+This module therefore implements the TRUE Glow-TTS/Matcha recurrence
+the reference's code descends from:
 
-* The column recurrence  p[x] = v[x] + max(p[x-1], a[x])  (where `a` is the
-  previous column) is a max-plus linear recurrence, so each column is
-  evaluated in O(log T_x) depth with `jax.lax.associative_scan` over
-  elements (V, B) representing the affine-max map  p -> max(p + V, B):
+    dp[x, y] = value[x, y] + max(dp[x, y-1]   if x <  y else -inf,
+                                 dp[x-1, y-1] if x >  0 else
+                                 (0 if y == 0 else -inf))
 
-      (V1, B1) . (V2, B2) = (V1 + V2, max(B1 + V2, B2))
+Both reads come from column y-1, so each column is a purely elementwise
+shift+max — no intra-column scan at all:
 
-* A `lax.scan` walks the T_y columns; a reverse `lax.scan` backtracks.
+* A `lax.scan` walks the T_y columns; a reverse `lax.scan` backtracks
+  (stepping down on `index == y` or a strictly-better down-neighbor,
+  the upstream tie-break).
 * `jax.vmap` batches over items with per-item (t_x, t_y) lengths.
 
-Reference semantics are reproduced exactly, including its quirks:
-the banded iteration domain  x in [max(0, t_x + y - t_y), min(t_x, y+1))
-leaves out-of-band DP cells at 0 (which in-band cells may then read), and
-backtrack decrements only on a strict `>` comparison
-(train_standalone.py:250-276).  `maximum_path_numpy` is a scalar
-clean-room re-implementation of those semantics used as the parity oracle
-(and mirrored by the native C++ kernel in matcha_tts_tpu/native).
+`maximum_path_numpy` is a scalar clean-room implementation of the same
+(correct) semantics used as the parity oracle (and mirrored by the
+native C++ kernel in matcha_tts_tpu/native).
 """
 
 from __future__ import annotations
@@ -35,18 +47,13 @@ import numpy as np
 _NEG = jnp.float32(-1e30)
 
 
-def _combine(left, right):
-    """Compose affine-max maps: apply `left` first, then `right`."""
-    v1, b1 = left
-    v2, b2 = right
-    return v1 + v2, jnp.maximum(b1 + v2, b2)
-
-
 def _forward_dp(value: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray,
                 unroll: int = 1) -> jnp.ndarray:
     """Banded DP over one (T_x, T_y) lattice; returns the DP matrix.
 
     value: (T_x, T_y) log-prior; t_x, t_y: scalar valid lengths.
+    Both DP reads come from the previous column (see module docstring),
+    so each column is one elementwise shift+max over the x axis.
     `unroll` trades loop-bookkeeping overhead for code size: the T_y-step
     column scan is inherently sequential, so at large T_y the per-iteration
     while-loop overhead dominates the (tiny) per-column vector work.
@@ -60,47 +67,40 @@ def _forward_dp(value: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray,
         band_hi = jnp.minimum(t_x, y + 1)
         in_band = (xs >= band_lo) & (xs < band_hi)
 
-        # a[x] = prev column (0 outside its own band, as stored)
-        a = jnp.where(y > 0, prev_col, _NEG)
-        # x == 0, y == 0: p = v[0] (v_prev = 0)
-        a = jnp.where((xs == 0) & (y == 0), 0.0, a)
-
-        # carry path p[x-1] + v[x] is disabled at x == 0 (the scalar code
-        # never reads path[-1, y])
-        V = jnp.where(in_band & (xs > 0), v, _NEG)
-        B = jnp.where(in_band, a + v, jnp.where(xs > 0, _NEG, 0.0))
-        # out-of-band cells reset the carry to their stored value 0
-        B = jnp.where(in_band, B, 0.0)
-        V = jnp.where(in_band, V, _NEG)
-
-        _, b_acc = jax.lax.associative_scan(_combine, (V, B))
-        # p[-1] = 0 feeds only through V, which is _NEG at x == 0, so the
-        # accumulated B is already the column value.
-        col = jnp.where(in_band, b_acc, 0.0)
+        # stay on token x: only reachable if x was in band at y-1 (x < y)
+        stay = jnp.where(xs < y, prev_col, _NEG)
+        # step down from token x-1; x == 0 starts the path at y == 0
+        first = jnp.where(y == 0, jnp.float32(0.0), _NEG)
+        down = jnp.concatenate([first[None], prev_col[:-1]])
+        col = v + jnp.maximum(stay, down)
+        col = jnp.where(in_band, col, _NEG)
         return col, col
 
     ys = jnp.arange(value.shape[1], dtype=jnp.int32)
-    init = jnp.zeros((t_x_size,), dtype=value.dtype)
+    init = jnp.full((t_x_size,), _NEG, value.dtype)
     _, cols = jax.lax.scan(column_step, init, (ys, value.T), unroll=unroll)
     return cols.T  # (T_x, T_y)
 
 
 def _backtrack(dp: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray,
                unroll: int = 1) -> jnp.ndarray:
-    """Reverse scan emitting the one-hot path, matching
-    train_standalone.py:269-276 (strict `>` to step down)."""
+    """Reverse scan emitting the one-hot path: step down when the path
+    must (index == y — token index cannot exceed the frame index) or when
+    the down-neighbor's DP score is strictly better (the upstream
+    Glow-TTS tie-break)."""
     t_x_size, t_y_size = dp.shape
     xs = jnp.arange(t_x_size, dtype=jnp.int32)
 
-    # prev_cols[:, y] = dp[:, y-1]; y = 0 wraps like the reference's
-    # numpy read of column -1 (the decision at y == 0 is discarded anyway).
+    # prev_cols[:, y] = dp[:, y-1]; y = 0 wraps (the decision at y == 0 is
+    # discarded anyway).
     prev_cols = jnp.roll(dp, 1, axis=1)
 
     def step(index, inputs):
         y, prev_col = inputs
         active = y < t_y
         col = jnp.where(active & (xs == index), 1.0, 0.0)
-        down = prev_col[jnp.maximum(index - 1, 0)] > prev_col[index]
+        down = (index == y) | (
+            prev_col[jnp.maximum(index - 1, 0)] > prev_col[index])
         new_index = jnp.where(active & (index > 0) & down, index - 1, index)
         return new_index, col
 
@@ -161,32 +161,37 @@ def maximum_path(neg_cent: jnp.ndarray, mask: jnp.ndarray,
 
 
 def maximum_path_numpy(neg_cent: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """Host scalar MAS with reference semantics (train_standalone.py:241-325)."""
+    """Host scalar MAS with the TRUE Glow-TTS semantics (see module
+    docstring: the reference's in-place rewrite at
+    train_standalone.py:241-325 is degenerate; this is the recurrence its
+    shipped checkpoints were actually trained with)."""
     value_all = neg_cent.astype(np.float32)
     mask = np.asarray(mask)
     b = value_all.shape[0]
     t_xs = mask.sum(axis=1)[:, 0].astype(np.int32)
     t_ys = mask.sum(axis=2)[:, 0].astype(np.int32)
     paths = np.zeros_like(value_all, dtype=np.float32)
+    neg = -1e30
 
     for i in range(b):
         t_x, t_y = int(t_xs[i]), int(t_ys[i])
         path = paths[i, :t_x, :t_y]
         value = value_all[i, :t_x, :t_y]
+        dp = np.full((t_x, t_y), neg, np.float32)
 
         for y in range(t_y):
             for x in range(max(0, t_x + y - t_y), min(t_x, y + 1)):
+                v_cur = neg if x == y else dp[x, y - 1]
                 if x == 0:
-                    v_prev = 0.0 if y == 0 else path[x, y - 1]
+                    v_prev = 0.0 if y == 0 else neg
                 else:
-                    v_prev = path[x - 1, y] if y == 0 else max(path[x - 1, y], path[x, y - 1])
-                path[x, y] = v_prev + value[x, y]
+                    v_prev = dp[x - 1, y - 1]
+                dp[x, y] = max(v_prev, v_cur) + value[x, y]
 
         index = t_x - 1
         for y in range(t_y - 1, -1, -1):
-            path[:, y] = 0.0
             path[index, y] = 1.0
-            if index > 0 and path[index - 1, y - 1] > path[index, y - 1]:
+            if index > 0 and (index == y or dp[index - 1, y - 1] > dp[index, y - 1]):
                 index -= 1
 
     return paths

@@ -8,20 +8,24 @@ VMEM-resident with the batch laid across sublanes and T_x across lanes:
 
 * the value table is streamed column-chunk by column-chunk through the
   Pallas pipeline in (chunk, B, T_x) blocks;
-* each column's in-band affine-max prefix  p[x] = v[x] + max(p[x-1], a[x])
-  runs as a log2(T_x)-step Hillis-Steele scan over lanes — the map
-  (V, B) : p -> max(p + V, B) composes exactly as in ops/mas.py;
+* the true Glow-TTS recurrence (see ops/mas.py's module docstring — the
+  reference's own rewrite is degenerate and is deliberately NOT
+  reproduced) reads only column y-1:
+
+      dp[x, y] = v[x, y] + max(dp[x, y-1] | x < y,  dp[x-1, y-1])
+
+  so each column is ONE lane shift + max — fully elementwise, no
+  intra-column scan;
 * the carry column persists in VMEM scratch across grid steps (the TPU
   grid is sequential);
 * the forward kernel also emits the backtrack decision bits
-  down[x, y] = dp[x-1, y-1] > dp[x, y-1]  (it holds column y-1 in
-  registers when processing column y), so the reverse kernel is a pure
-  vectorized index walk — no dp re-read, no shifted block specs.
+  down[x, y] = (x == y) | (dp[x-1, y-1] > dp[x, y-1])  (it holds column
+  y-1 in registers when processing column y), so the reverse kernel is a
+  pure vectorized index walk — no dp re-read, no shifted block specs.
 
-Reference semantics (train_standalone.py:241-325) are reproduced exactly
-— banded iteration domain, out-of-band cells stored as 0 and readable by
-in-band cells, strict `>` backtrack — and asserted against the scalar
-NumPy oracle in tests/test_mas.py.
+Asserted against the scalar NumPy oracle in tests/test_mas.py and by an
+optimality regression (the returned path must beat the degenerate
+first-token path the broken recurrence produced).
 """
 
 from __future__ import annotations
@@ -85,38 +89,32 @@ def _fwd_kernel(value_ref, t_x_ref, t_y_ref, col_out_ref, down_ref, p_ref,
 
     @pl.when(step == 0)
     def _init():
-        p_ref[...] = jnp.zeros_like(p_ref)
+        p_ref[...] = jnp.full_like(p_ref, _NEG)
 
     def column(j, _):
         y = (step * chunk + j).astype(jnp.float32)
         v = value_ref[j]  # (B, T_x)
         p_prev = p_ref[...]
+        shifted = _shift_right(p_prev, 1, _NEG)  # dp[x-1, y-1]
 
-        # backtrack decision for THIS y compares column y-1 (= p_prev)
-        down = (_shift_right(p_prev, 1, _NEG) > p_prev).astype(jnp.float32)
+        # backtrack decision for THIS y compares column y-1 (= p_prev);
+        # x == y forces the step down (token index cannot exceed frame
+        # index on a valid path)
+        down = ((xs == y) | (shifted > p_prev)).astype(jnp.float32)
         down_ref[j] = down
 
         band_lo = jnp.maximum(0.0, t_x + y - t_y)  # (B, 1)
         band_hi = jnp.minimum(t_x, y + 1.0)
         in_band = (xs >= band_lo) & (xs < band_hi)
 
-        a = jnp.where(y > 0, p_prev, _NEG)
-        a = jnp.where((xs == 0) & (y == 0), 0.0, a)
-
-        V = jnp.where(in_band & (xs > 0), v, _NEG)
-        B = jnp.where(in_band, a + v, 0.0)
-
-        # inclusive prefix composition of (V, B) affine-max maps over
-        # lanes; identity element is (0, NEG)
-        s = 1
-        while s < t_x_size:
-            Vs = _shift_right(V, s, 0.0)
-            Bs = _shift_right(B, s, _NEG)
-            B = jnp.maximum(Bs + V, B)
-            V = Vs + V
-            s *= 2
-
-        col = jnp.where(in_band, B, 0.0)
+        # stay on token x (invalid at x == y: x was out of band at y-1;
+        # out-of-band carry cells already hold _NEG)
+        stay = jnp.where(xs < y, p_prev, _NEG)
+        # step down from x-1; x == 0 starts the path at y == 0
+        down_v = jnp.where((xs == 0) & (y == 0), 0.0,
+                           jnp.where(xs == 0, _NEG, shifted))
+        col = v + jnp.maximum(stay, down_v)
+        col = jnp.where(in_band, col, _NEG)
         col_out_ref[j] = col
         p_ref[...] = col
         return 0

@@ -113,3 +113,52 @@ def test_generate_path_matches_manual():
     expected0[3, 5:6] = 1   # dur 1
     np.testing.assert_array_equal(path[0], expected0)
     np.testing.assert_array_equal(path[1, :, :4], np.eye(4))
+
+
+def test_path_is_globally_optimal_vs_exhaustive():
+    """The returned path must be the argmax over ALL monotonic paths.
+
+    Regression for the degenerate-path bug inherited from the reference:
+    its rewrite (train_standalone.py:263-266) reads the just-written
+    current column (`path[x-1, y]`) instead of column y-1, which makes
+    the first token absorb nearly all frames.  Exhaustive enumeration on
+    small lattices catches any such recurrence error.
+    """
+    import itertools
+
+    rng = np.random.default_rng(3)
+    t_x, t_y = 4, 7
+    value = rng.standard_normal((1, t_x, t_y)).astype(np.float32) * 3
+    mask = np.ones((1, t_x, t_y), np.float32)
+
+    best_score, best_path = -np.inf, None
+    # enumerate all monotonic paths: choose the 3 frames where the token
+    # index steps down (strictly increasing step positions in 1..t_y-1)
+    for steps in itertools.combinations(range(1, t_y), t_x - 1):
+        idx = np.zeros(t_y, np.int32)
+        for s in steps:
+            idx[s:] += 1
+        score = sum(value[0, idx[j], j] for j in range(t_y))
+        if score > best_score:
+            best_score, best_path = score, idx.copy()
+
+    path = np.asarray(maximum_path(value, mask,
+                                   impl="scan"))
+    got_idx = path[0].argmax(axis=0)
+    got_score = sum(value[0, got_idx[j], j] for j in range(t_y))
+    assert np.isclose(got_score, best_score), (got_idx, best_path)
+
+
+def test_not_degenerate_on_sharp_diagonal():
+    """A strongly diagonal prior must produce near-uniform durations —
+    NOT the first-token-absorbs-everything path of the broken recurrence."""
+    t_x, t_y = 8, 32
+    value = np.full((1, t_x, t_y), -10.0, np.float32)
+    for x in range(t_x):
+        value[0, x, 4 * x : 4 * (x + 1)] = 0.0  # true alignment: 4 frames each
+    mask = np.ones((1, t_x, t_y), np.float32)
+    for impl in ("scan", "pallas"):
+        path = np.asarray(maximum_path(value, mask,
+                                       impl=impl))
+        durs = path[0].sum(axis=1)
+        np.testing.assert_array_equal(durs, np.full(t_x, 4.0), err_msg=impl)
