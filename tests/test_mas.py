@@ -1,6 +1,8 @@
-"""MAS tests: the on-device associative-scan DP must match the scalar
-reference semantics (train_standalone.py:241-325) exactly, and produce
-valid monotonic one-hot paths."""
+"""MAS tests: every implementation (scan / Pallas / native / oracle) must
+agree on the TRUE Glow-TTS recurrence (the reference's own rewrite at
+train_standalone.py:241-325 is degenerate — see docs/PARITY.md), return
+globally optimal paths (exhaustive check), and produce valid monotonic
+one-hot paths."""
 
 import numpy as np
 
