@@ -56,6 +56,23 @@ def _fold_tree(tree):
                for leaf in jax.tree.leaves(tree))
 
 
+# Per-part work is sub-millisecond at batch 32, so parts chain far more
+# iterations than the stage breakdown: at CHAIN=8 the ~28 ms
+# dispatch+fetch call floor is ~3.5 ms/iter — bigger than the parts
+# themselves (first measurement attempt produced negative bwd/fwd).
+PART_CHAIN = 64
+
+
+def _part_chained_time(f, n_samples: int = 3) -> float:
+    float(f(jax.random.PRNGKey(0)))  # compile + warm
+    ts = []
+    for s in range(1, n_samples + 1):
+        t0 = time.perf_counter()
+        float(f(jax.random.PRNGKey(s)))
+        ts.append((time.perf_counter() - t0) / PART_CHAIN)
+    return float(np.median(ts))
+
+
 def part_times(fn, params, x, *extra, n_samples: int = 3):
     """(fwd_ms, fwd+bwd_ms) for `fn(params, x, *extra)` with the chained
     method; bwd is wrt params (the training direction)."""
@@ -67,7 +84,7 @@ def part_times(fn, params, x, *extra, n_samples: int = 3):
     def fwd_chain(key):
         def body(i, acc):
             return acc + loss(params, (acc * 0).astype(x.dtype))
-        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, PART_CHAIN, body, jnp.float32(0))
 
     @jax.jit
     def fb_chain(key):
@@ -75,10 +92,10 @@ def part_times(fn, params, x, *extra, n_samples: int = 3):
             l, g = jax.value_and_grad(loss)(params,
                                             (acc * 0).astype(x.dtype))
             return acc + l + 0.0 * _fold_tree(g)
-        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, PART_CHAIN, body, jnp.float32(0))
 
-    return (chained_time(fwd_chain, n_samples=n_samples) * 1e3,
-            chained_time(fb_chain, n_samples=n_samples) * 1e3)
+    return (_part_chained_time(fwd_chain, n_samples=n_samples) * 1e3,
+            _part_chained_time(fb_chain, n_samples=n_samples) * 1e3)
 
 
 def run_parts(args, results):
@@ -114,9 +131,9 @@ def run_parts(args, results):
     def trivial_chain(key):
         def body(i, acc):
             return acc + jnp.float32(1.0) + acc * 0
-        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, PART_CHAIN, body, jnp.float32(0))
 
-    floor_ms = chained_time(trivial_chain) * 1e3
+    floor_ms = _part_chained_time(trivial_chain) * 1e3
     results["parts_dispatch_floor_ms"] = floor_ms
 
     # FLOP helpers (matmul FLOPs only; norms/activations are bandwidth)
@@ -159,6 +176,14 @@ def run_parts(args, results):
                                dim_head=dim_head)
         parts.append((name, fn, p, x, (mask,), attn_f(t)))
 
+    def add_ff(name, t, remat):
+        p = cast(unet.init_feed_forward(key, c))
+        x = bf(rng.standard_normal((b, t, c)))
+        fn = (jax.checkpoint(unet.feed_forward) if remat
+              else unet.feed_forward)
+        parts.append((name, fn, p, x, (),
+                      lin_f(t, c, 4 * c) + lin_f(t, 4 * c, c)))
+
     t_half = t_y // 2
     add_resnet(f"resnet_in160_t{t_y}", t_y, 2 * cfg.encoder.n_feats, mask768)
     add_resnet(f"resnet_c256_t{t_half}", t_half, c, mask384)
@@ -168,6 +193,11 @@ def run_parts(args, results):
     add_tb(f"tblock_t{t_half}", t_half, mask384)
     add_attn(f"attn_t{t_y}", t_y, mask768)
     add_attn(f"attn_t{t_half}", t_half, mask384)
+    # the tblock deficit is the SnakeBeta FF (attn alone is 41-73% MFU):
+    # time it directly, plus a remat variant that drops the (B, T, 4C)
+    # intermediate saves and recomputes the activation in backward
+    add_ff(f"snakeff_t{t_y}", t_y, remat=False)
+    add_ff(f"snakeff_remat_t{t_y}", t_y, remat=True)
 
     # text encoder fwd+bwd at its real shapes
     from matcha_tts_tpu.models.matcha import init_matcha
@@ -190,10 +220,10 @@ def run_parts(args, results):
         def body(i, acc):
             l, g = jax.value_and_grad(enc_loss)(full["encoder"], acc * 0)
             return acc + l + 0.0 * _fold_tree(g)
-        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, PART_CHAIN, body, jnp.float32(0))
 
     results["parts_encoder_fwd_bwd_ms"] = round(
-        chained_time(enc_fb_chain) * 1e3, 3)
+        _part_chained_time(enc_fb_chain) * 1e3, 3)
 
     # optimizer alone (clip-by-global-norm + Adam on the 18M tree)
     tcfg = TrainConfig(batch_size=b)
@@ -208,11 +238,12 @@ def run_parts(args, results):
             g = jax.tree.map(lambda a: a + acc * 0, grads)
             updates, os = tx.update(g, os, full)
             return acc + _fold_tree(updates) * 0 + 1.0, os
-        acc, _ = jax.lax.fori_loop(0, CHAIN, body,
+        acc, _ = jax.lax.fori_loop(0, PART_CHAIN, body,
                                    (jnp.float32(0), opt_state))
         return acc
 
-    results["parts_optimizer_ms"] = round(chained_time(opt_chain) * 1e3, 3)
+    results["parts_optimizer_ms"] = round(
+        _part_chained_time(opt_chain) * 1e3, 3)
 
     print(f"{'part':24s} {'fwd ms':>8s} {'f+b ms':>8s} {'bwd/fwd':>8s} "
           f"{'f+b TF/s':>9s} {'MFU%':>6s}  (floor {floor_ms:.2f} ms "
