@@ -67,6 +67,14 @@ def main():
                          "of only the shapes the sample texts induce — "
                          "kills the mid-request-compile p99 cliff "
                          "(docs/RESULTS.md 2026-08-18 soak)")
+    ap.add_argument("--text-buckets", default=None,
+                    help="comma-separated text buckets for the deployment "
+                         "(warmup_grid precompiles everything REACHABLE, "
+                         "so a production deployment deliberately sizes "
+                         "its bucket surface; the full default grid is "
+                         "~75 triples of cold compiles)")
+    ap.add_argument("--batch-frame-buckets", default=None,
+                    help="comma-separated batch-mode frame buckets")
     args = ap.parse_args()
 
     if args.cpu:
@@ -92,10 +100,17 @@ def main():
     else:
         hcfg = (HiFiGANConfig() if args.mrf is None
                 else HiFiGANConfig(mrf_kernel=args.mrf))
+    syn_kw = {}
+    if args.text_buckets:
+        syn_kw["text_buckets"] = tuple(
+            int(v) for v in args.text_buckets.split(","))
+    if args.batch_frame_buckets:
+        syn_kw["batch_frame_buckets"] = tuple(
+            int(v) for v in args.batch_frame_buckets.split(","))
     synth = Synthesizer(init_matcha(jax.random.PRNGKey(0), cfg), cfg,
                         vocoder_mod.init_vocoder(jax.random.PRNGKey(1), hcfg),
                         hcfg, compute_dtype=args.compute_dtype,
-                        denoise_strength=0.00025)
+                        denoise_strength=0.00025, **syn_kw)
     srv = TTSServer(synth, max_batch=args.max_batch,
                     batch_window_ms=args.batch_window_ms).start()
     url = f"http://127.0.0.1:{srv.port}/synthesize"
