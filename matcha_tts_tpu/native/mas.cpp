@@ -68,11 +68,14 @@ void maximum_path_batch(float* paths, const float* values,
       }
     }
 
-    // backtrack: step down on index == y or a strictly better neighbor
+    // backtrack: step down on index == y or a strictly better neighbor.
+    // The y > 0 guard keeps the dp reads in-bounds for degenerate inputs
+    // with tx > ty (index can still be > 0 at y == 0, and the decision at
+    // y == 0 is discarded anyway).
     int32_t index = tx - 1;
     for (int32_t y = ty - 1; y >= 0; --y) {
       path[(int64_t)index * t_y_max + y] = 1.0f;
-      if (index > 0 &&
+      if (index > 0 && y > 0 &&
           (index == y || dp[(int64_t)(index - 1) * ty + (y - 1)] >
                              dp[(int64_t)index * ty + (y - 1)])) {
         --index;

@@ -144,11 +144,20 @@ def test_path_is_globally_optimal_vs_exhaustive():
         if score > best_score:
             best_score, best_path = score, idx.copy()
 
-    path = np.asarray(maximum_path(value, mask,
-                                   impl="scan"))
-    got_idx = path[0].argmax(axis=0)
-    got_score = sum(value[0, got_idx[j], j] for j in range(t_y))
-    assert np.isclose(got_score, best_score), (got_idx, best_path)
+    def check(path, name):
+        got_idx = path[0].argmax(axis=0)
+        got_score = sum(value[0, got_idx[j], j] for j in range(t_y))
+        assert np.isclose(got_score, best_score), (name, got_idx, best_path)
+
+    # every implementation directly, so an oracle regression can never
+    # mask a kernel regression (they are otherwise only compared pairwise)
+    for impl in ("scan", "pallas"):
+        check(np.asarray(maximum_path(value, mask, impl=impl)), impl)
+    check(maximum_path_numpy(value, mask), "numpy")
+    from matcha_tts_tpu.native.mas_native import (maximum_path_native,
+                                                  native_available)
+    if native_available():
+        check(maximum_path_native(value, mask), "native")
 
 
 def test_not_degenerate_on_sharp_diagonal():
