@@ -7,6 +7,14 @@ loaded pretrained; hifigan/models.py:209-368, hifigan/meldataset.py:105-165).
 This module makes those pieces trainable TPU-natively: jitted generator /
 discriminator steps with AdamW(0.8, 0.99) + exponential LR decay per the
 vendored config (hifigan/config.py:4-8).
+
+Data parallelism: the steps are pure jitted functions, so DP over a mesh
+is the standard recipe (the vendored config names a distributed backend,
+hifigan/config.py:27) — `pmesh.replicate(mesh, state)` once, then
+`pmesh.shard_batch(mesh, audio)` per step; XLA derives the gradient
+all-reduce from the shardings (see train/vocoder_cli.py --data_parallel
+and tests/test_vocoder_train.py::test_gan_pair_step_data_parallel_matches
+_single_device).
 """
 
 from __future__ import annotations

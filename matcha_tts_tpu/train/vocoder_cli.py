@@ -46,6 +46,12 @@ def main(argv=None):
     ap.add_argument("--no_resume", action="store_true")
     ap.add_argument("--debug_tiny", action="store_true",
                     help="tiny model config for smoke tests / CI")
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="shard the batch over all devices (1-D ICI mesh); "
+                         "parameters replicated, gradients all-reduced by "
+                         "XLA — the GAN equivalent of the acoustic "
+                         "trainer's fit(mesh=...) and of the reference "
+                         "recipe's dist_backend (hifigan/config.py:27)")
     args = ap.parse_args(argv)
 
     import jax
@@ -98,6 +104,19 @@ def main(argv=None):
             start_step = int(np.asarray(state.step))
             print(f"resumed from step {start_step}")
 
+    mesh = None
+    if args.data_parallel:
+        from matcha_tts_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh()
+        ndev = mesh.devices.size
+        if args.batch_size % ndev:
+            raise SystemExit(f"--batch_size {args.batch_size} must divide "
+                             f"the {ndev}-device mesh")
+        state = pmesh.replicate(mesh, state)
+        print(f"data-parallel over {ndev} devices "
+              f"({args.batch_size // ndev} segments/device)")
+
     rng = np.random.default_rng(args.seed)
 
     import functools
@@ -124,6 +143,10 @@ def main(argv=None):
     with GracefulShutdown() as shutdown:
         for step, audio in zip(range(start_step, args.steps),
                                PrefetchIterator(batch_stream(), depth=2)):
+            if mesh is not None:
+                from matcha_tts_tpu.parallel.mesh import shard_batch
+
+                audio = shard_batch(mesh, audio)
             state, d_loss = gan_disc_step(state, audio, hcfg, acfg,
                                           lr=args.lr,
                                           weight_norm=args.weight_norm)

@@ -49,6 +49,50 @@ def test_gan_steps_run_and_update():
     assert int(state.step) == 1
 
 
+def test_gan_pair_step_data_parallel_matches_single_device():
+    """DP over the mesh must be semantically invisible: one disc+gen pair
+    step on a batch-8 bucket, single-device vs batch-sharded over the
+    8-device CPU mesh, same updated parameters (the acoustic trainer's
+    test_data_parallel_matches_single_device, for the GAN trainer)."""
+    from matcha_tts_tpu.parallel import mesh as pmesh
+
+    hcfg = HiFiGANConfig(
+        upsample_rates=(8, 2), upsample_kernel_sizes=(16, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), num_mels=8,
+    )
+    acfg = AudioConfig(n_mels=8, n_fft=256, win_length=256, hop_length=16,
+                       f_max=4000.0)
+    rng = np.random.default_rng(3)
+    audio_np = (rng.standard_normal((8, 1024)).astype(np.float32) * 0.1)
+
+    def pair(state, audio):
+        state, d_loss = gan_disc_step(state, audio, hcfg, acfg)
+        state, metrics = gan_gen_step(state, audio, hcfg, acfg)
+        return state, d_loss, metrics
+
+    state1 = create_gan_state(jax.random.PRNGKey(0), hcfg)
+    state1, d1, m1 = pair(state1, jnp.asarray(audio_np))
+
+    mesh = pmesh.make_mesh()
+    stateN = create_gan_state(jax.random.PRNGKey(0), hcfg)
+    stateN = pmesh.replicate(mesh, stateN)
+    audioN = pmesh.shard_batch(mesh, audio_np)
+    stateN, dN, mN = pair(stateN, audioN)
+
+    assert np.allclose(float(d1), float(dN), rtol=1e-5)
+    assert np.allclose(float(m1["gen_loss"]), float(mN["gen_loss"]),
+                       rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state1.gen_params),
+                    jax.tree.leaves(jax.device_get(stateN.gen_params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(state1.disc_params),
+                    jax.tree.leaves(jax.device_get(stateN.disc_params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
 def test_weight_norm_round_trip_and_geometry():
     """decompose/fold are exact inverses; folding reproduces the generator
     bit-for-bit (the reference's remove_weight_norm contract,
