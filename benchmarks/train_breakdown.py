@@ -176,11 +176,12 @@ def run_parts(args, results):
                                dim_head=dim_head)
         parts.append((name, fn, p, x, (mask,), attn_f(t)))
 
-    def add_ff(name, t, remat):
+    def add_ff(name, t, remat, snake_impl="xla"):
         p = cast(unet.init_feed_forward(key, c))
         x = bf(rng.standard_normal((b, t, c)))
-        fn = (jax.checkpoint(unet.feed_forward) if remat
-              else unet.feed_forward)
+        fn = functools.partial(unet.feed_forward, snake_impl=snake_impl)
+        if remat:
+            fn = jax.checkpoint(fn)
         parts.append((name, fn, p, x, (),
                       lin_f(t, c, 4 * c) + lin_f(t, 4 * c, c)))
 
@@ -198,6 +199,10 @@ def run_parts(args, results):
     # intermediate saves and recomputes the activation in backward
     add_ff(f"snakeff_t{t_y}", t_y, remat=False)
     add_ff(f"snakeff_remat_t{t_y}", t_y, remat=True)
+    # identity-rewrite custom VJP (all transcendentals in forward,
+    # backward is multiply-adds over a saved sin(2ax)) — VERDICT r3 #5
+    add_ff(f"snakeff_fused_t{t_y}", t_y, remat=False,
+           snake_impl="fused_vjp")
 
     # text encoder fwd+bwd at its real shapes
     from matcha_tts_tpu.models.matcha import init_matcha

@@ -90,9 +90,17 @@ class DecoderConfig:
     # TIE within run noise at batch 32 (8.50-8.83 vs 8.48-8.77 ms
     # estimator pass, 2026-08-17) — so the simpler XLA path stays default.
     attention_impl: str = "xla"
+    # SnakeBeta implementation: "xla" (autodiff through sin^2) or
+    # "fused_vjp" (identity rewrite sin^2(ax) = (1-cos 2ax)/2 with a
+    # custom VJP that keeps every transcendental in the forward pass —
+    # the backward is pure multiply-adds over a saved sin(2ax)).  Same
+    # math to fp rounding; a training-throughput experiment, see
+    # docs/RESULTS.md.
+    snake_impl: str = "xla"
 
     def __post_init__(self):
         for field, valid in (("block1d_impl", ("xla", "pallas", "auto")),
+                             ("snake_impl", ("xla", "fused_vjp")),
                              ("attention_impl",
                               ("xla", "flash", "vmem", "auto"))):
             v = getattr(self, field)

@@ -38,10 +38,55 @@ def init_snake_beta(key, in_features: int, out_features: int):
     }
 
 
-def snake_beta(params, x):
+@jax.custom_vjp
+def _snake_fused(z, alpha, beta):
+    """x + sin^2(alpha x)/(beta+eps) via the identity
+    sin^2(u/2) = (1 - cos u)/2, with a hand-written VJP that moves ALL
+    transcendentals to the forward pass.
+
+    Rationale (measured 2026-08-20, RESULTS.md "Backward-pass SOL
+    verdict"): the SnakeBeta feed-forward is VPU-transcendental-bound —
+    autodiff's backward computes cos(alpha x) over the (B, T, 4C)
+    intermediate, and remat makes it worse.  Here the forward computes
+    sin and cos of ONE shared angle u = 2 alpha x and saves sin(u), so
+    the backward is pure multiply-adds:
+        dy/dz     = 1 + alpha sin(u)/(beta+eps)
+        dy/dalpha = z sin(u)/(beta+eps)
+        dy/dbeta  = -(y - z)/(beta+eps)
+    Trades one extra saved (B, T, 4C) tensor for the backward's
+    transcendental pass (the backward is NOT bandwidth-bound, so the
+    trade is in the right direction)."""
+    u = (2.0 * alpha) * z
+    return z + (0.5 * (1.0 - jnp.cos(u))) / (beta + 1e-9)
+
+
+def _snake_fused_fwd(z, alpha, beta):
+    u = (2.0 * alpha) * z
+    s = jnp.sin(u)
+    r = (0.5 * (1.0 - jnp.cos(u))) / (beta + 1e-9)
+    return z + r, (z, s, r, alpha, beta)
+
+
+def _snake_fused_bwd(res, g):
+    z, s, r, alpha, beta = res
+    inv = 1.0 / (beta + 1e-9)
+    dz = g * (1.0 + (alpha * inv) * s)
+    red = tuple(range(g.ndim - 1))
+    # channel-vector grads accumulate in fp32 (they sum ~25M bf16 terms)
+    dalpha = jnp.sum((g * z * s * inv).astype(jnp.float32), axis=red)
+    dbeta = jnp.sum((g * r * (-inv)).astype(jnp.float32), axis=red)
+    return dz, dalpha.astype(alpha.dtype), dbeta.astype(beta.dtype)
+
+
+_snake_fused.defvjp(_snake_fused_fwd, _snake_fused_bwd)
+
+
+def snake_beta(params, x, impl: str = "xla"):
     x = nn.linear(params["proj"], x)
     alpha = jnp.exp(params["alpha"]).astype(x.dtype)
     beta = jnp.exp(params["beta"]).astype(x.dtype)
+    if impl == "fused_vjp":
+        return _snake_fused(x, alpha, beta)
     return x + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(x * alpha))
 
 
@@ -59,8 +104,9 @@ def init_feed_forward(key, dim: int, mult: int = 4):
     }
 
 
-def feed_forward(params, x, *, dropout_p=0.0, rng: Optional[Rng] = None):
-    x = snake_beta(params["act"], x)
+def feed_forward(params, x, *, dropout_p=0.0, rng: Optional[Rng] = None,
+                 snake_impl: str = "xla"):
+    x = snake_beta(params["act"], x, impl=snake_impl)
     x = nn.dropout(x, dropout_p, rng)
     return nn.linear(params["out"], x)
 
@@ -161,13 +207,15 @@ def init_transformer_block(key, dim: int, heads: int, dim_head: int):
 
 
 def transformer_block(params, x, key_mask, *, heads, dim_head, dropout_p=0.0,
-                      rng: Optional[Rng] = None, attn_impl: str = "xla"):
+                      rng: Optional[Rng] = None, attn_impl: str = "xla",
+                      snake_impl: str = "xla"):
     h = nn.layer_norm(params["norm1"], x)
     x = x + attention(params["attn1"], h, key_mask, heads=heads,
                       dim_head=dim_head, dropout_p=dropout_p, rng=rng,
                       impl=attn_impl)
     h = nn.layer_norm(params["norm3"], x)
-    x = x + feed_forward(params["ff"], h, dropout_p=dropout_p, rng=rng)
+    x = x + feed_forward(params["ff"], h, dropout_p=dropout_p, rng=rng,
+                         snake_impl=snake_impl)
     return x
 
 
@@ -379,6 +427,7 @@ def decoder(params, x, mask, mu, t, cfg: DecoderConfig,
     # use_pallas) for fp32-exact GroupNorm stats and training remat.
     use_pallas = cfg.use_pallas or cfg.block1d_impl == "pallas"
     attn_impl = cfg.attention_impl
+    snake_impl = cfg.snake_impl
 
     n_levels = len(params["down_blocks"])
     hiddens = []
@@ -389,7 +438,8 @@ def decoder(params, x, mask, mu, t, cfg: DecoderConfig,
         for tb in level["transformer_blocks"]:
             h = transformer_block(tb, h, m, heads=heads, dim_head=dim_head,
                                   dropout_p=dropout_p, rng=rng,
-                                  attn_impl=attn_impl)
+                                  attn_impl=attn_impl,
+                                  snake_impl=snake_impl)
         hiddens.append(h)
         if i < n_levels - 1:
             h = nn.conv1d(level["downsample"], h * m[..., None], stride=2, padding=1)
@@ -408,7 +458,8 @@ def decoder(params, x, mask, mu, t, cfg: DecoderConfig,
         for tb in block["transformer_blocks"]:
             h = transformer_block(tb, h, m_mid, heads=heads, dim_head=dim_head,
                                   dropout_p=dropout_p, rng=rng,
-                                  attn_impl=attn_impl)
+                                  attn_impl=attn_impl,
+                                  snake_impl=snake_impl)
 
     n_ups = len(params["up_blocks"])
     for i, level in enumerate(params["up_blocks"]):
@@ -422,7 +473,8 @@ def decoder(params, x, mask, mu, t, cfg: DecoderConfig,
         for tb in level["transformer_blocks"]:
             h = transformer_block(tb, h, m, heads=heads, dim_head=dim_head,
                                   dropout_p=dropout_p, rng=rng,
-                                  attn_impl=attn_impl)
+                                  attn_impl=attn_impl,
+                                  snake_impl=snake_impl)
         if i < n_ups - 1:
             h = nn.conv_transpose1d(level["upsample"], h * m[..., None], stride=2, padding=1)
         else:

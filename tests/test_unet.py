@@ -123,3 +123,53 @@ def test_unet_static_shape_invariance():
     np.testing.assert_allclose(out1, out2, atol=1e-5)
     # padded outputs are exactly zero
     assert np.abs(out1[:, 8:]).max() == 0.0
+
+
+def test_snake_fused_vjp_matches_autodiff():
+    """snake_impl="fused_vjp" (identity rewrite + hand VJP) must equal the
+    autodiff path in value AND in every gradient (input, log-alpha,
+    log-beta) — it is the same math up to fp rounding."""
+    import jax
+
+    from matcha_tts_tpu.models import unet
+
+    params = unet.init_snake_beta(jax.random.PRNGKey(0), 16, 32)
+    # move alpha/beta off the zero init so their grads are non-trivial
+    params["alpha"] = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (32,))
+    params["beta"] = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (32,))
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 24, 16))
+
+    y0 = unet.snake_beta(params, x)
+    y1 = unet.snake_beta(params, x, impl="fused_vjp")
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-6, rtol=1e-6)
+
+    def loss(p, x, impl):
+        return jnp.sum(jnp.sin(unet.snake_beta(p, x, impl=impl)))
+
+    g0 = jax.grad(loss, argnums=(0, 1))(params, x, "xla")
+    g1 = jax.grad(loss, argnums=(0, 1))(params, x, "fused_vjp")
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_decoder_snake_impl_invariance():
+    """The full U-Net gives the same output under both snake impls."""
+    import dataclasses
+
+    cfg = DecoderConfig(channels=(16, 16), attention_head_dim=8, num_heads=2,
+                        n_blocks=1, num_mid_blocks=1, dropout=0.0)
+    n_feats = 8
+    p = unet.init_decoder(jax.random.PRNGKey(6), 2 * n_feats, n_feats, cfg)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 12, n_feats), dtype=np.float32)
+    mu = rng.standard_normal((1, 12, n_feats), dtype=np.float32)
+    mask = np.asarray(sequence_mask(np.array([12]), 12)).astype(np.float32)
+    tt = np.array([0.5], np.float32)
+    out1 = np.asarray(unet.decoder(p, jnp.asarray(x), jnp.asarray(mask),
+                                   jnp.asarray(mu), jnp.asarray(tt), cfg))
+    cfg2 = dataclasses.replace(cfg, snake_impl="fused_vjp")
+    out2 = np.asarray(unet.decoder(p, jnp.asarray(x), jnp.asarray(mask),
+                                   jnp.asarray(mu), jnp.asarray(tt), cfg2))
+    np.testing.assert_allclose(out1, out2, atol=1e-5, rtol=1e-5)
