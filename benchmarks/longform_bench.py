@@ -44,6 +44,68 @@ PARAGRAPH = (
 )
 
 
+def _rss_mb(key: str = "VmRSS") -> float:
+    for line in open("/proc/self/status"):
+        if line.startswith(key):
+            return int(line.split()[1]) / 1024.0
+    return -1.0
+
+
+def _book_run(args, syn, sr, kw):
+    """Book-scale long-form: hundreds of chunks, memory growth, joins.
+
+    The paragraph rows prove ~40 s of audio; BASELINE config 5 is
+    long-form chunked streaming at production scale, so this run holds
+    RTF and RSS flat over ~args.book_seconds of audio (the reference's
+    long-form story is one hard-coded '|' pair, main.py:158)."""
+    base = syn.split_text(PARAGRAPH)
+    # estimate per-sentence audio from the warm paragraph pass, then
+    # build a deterministic book of the right length
+    probe = syn.synthesize_long(PARAGRAPH, **kw)
+    per_sentence = len(probe.wav) / sr / len(base)
+    n_sent = max(1, int(args.book_seconds / per_sentence))
+    book = " ".join(base[i % len(base)] for i in range(n_sent))
+
+    rss0, hwm0 = _rss_mb(), _rss_mb("VmHWM")
+    t0 = time.perf_counter()
+    r = syn.synthesize_long(book, **kw)
+    wall = time.perf_counter() - t0
+    audio_s = len(r.wav) / sr
+    assert np.isfinite(r.wav).all()
+    rec = {
+        "metric": "book_longform", "family": args.family,
+        "sentences": n_sent, "audio_s": round(audio_s, 1),
+        "wall_s": round(wall, 2), "rtf": round(wall / audio_s, 5),
+        "rss_mb": round(_rss_mb(), 1), "rss_growth_mb":
+            round(_rss_mb() - rss0, 1),
+        "peak_rss_mb": round(_rss_mb("VmHWM"), 1),
+    }
+    print(json.dumps(rec))
+
+    # streaming over the same book: TTFA must stay sentence-scale and
+    # memory flat (chunks are yielded, not accumulated on device)
+    t0 = time.perf_counter()
+    first, n_samples, n_chunks = None, 0, 0
+    for chunk in syn.stream_samples(book, **kw):
+        if first is None:
+            first = time.perf_counter() - t0
+        assert np.isfinite(chunk).all()
+        n_samples += len(chunk)
+        n_chunks += 1
+    wall = time.perf_counter() - t0
+    rec_s = {
+        "metric": "book_stream", "family": args.family,
+        "audio_s": round(n_samples / sr, 1), "chunks": n_chunks,
+        "time_to_first_audio_s": round(first, 3),
+        "wall_s": round(wall, 2),
+        "rtf": round(wall / (n_samples / sr), 5),
+        "rss_growth_mb": round(_rss_mb() - rss0, 1),
+        "peak_rss_mb": round(_rss_mb("VmHWM"), 1),
+    }
+    print(json.dumps(rec_s))
+    return rec, rec_s
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--nfe", type=int, default=10)
@@ -56,6 +118,12 @@ def main(argv=None):
                    choices=("hifigan", "vocos"),
                    help="vocoder family (streaming TTFA is per-family: "
                         "Vocos chunks run exact chunked iSTFT)")
+    p.add_argument("--book-seconds", type=float, default=0.0,
+                   help="> 0: book-scale run — repeat the sentence pool "
+                        "until ~this much audio, measure synthesize_long "
+                        "+ stream_samples wall/RTF/peak-RSS over hundreds "
+                        "of chunks (BASELINE config 5 at minutes-hours "
+                        "scale), then exit")
     args = p.parse_args(argv)
 
     from matcha_tts_tpu.config import (HiFiGANConfig, MatchaConfig,
@@ -79,6 +147,9 @@ def main(argv=None):
     syn.synthesize_long(PARAGRAPH, **kw)
     for _ in syn.stream_samples(PARAGRAPH, **kw):
         pass
+
+    if args.book_seconds > 0:
+        return _book_run(args, syn, sr, kw)
 
     t0 = time.perf_counter()
     r = syn.synthesize_long(PARAGRAPH, **kw)

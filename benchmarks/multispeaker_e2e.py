@@ -53,7 +53,7 @@ SPEAKER_SCALES = (0.85, 1.0, 1.18)  # per-speaker frequency multiplier
 def render_speaker(text: str, scale: float, rng) -> np.ndarray:
     """Pitch-scaled character chords: resample the base rendering's
     frequency axis by rendering with scaled tone tables."""
-    import benchmarks.wer_e2e as w
+    import benchmarks.tone_corpus as w  # the tone tables live here now
 
     # scale the module's tone tables for this rendering only
     saved = (w.ROW_HZ, w.COL_HZ, w.SPACE_HZ)
@@ -107,7 +107,12 @@ def main(argv=None):
     ap.add_argument("--nfe", type=int, default=10)
     args = ap.parse_args(argv)
 
-    text_bucket, frame_bucket = 128, 384
+    # the tone renderer now gives characters variable durations, so take
+    # the frame bound from the renderer itself instead of hardcoding
+    from benchmarks.tone_corpus import max_frames
+
+    text_bucket = 128
+    frame_bucket = max(384, (max_frames(CORPUS) + 63) // 64 * 64)
     train_fl, val_fl = make_multispeaker_corpus(Path(args.data_root), CORPUS)
 
     # commit-sized preset (wer_e2e "small") + speaker embedding

@@ -1,0 +1,263 @@
+"""Character-coded tone corpus with VARIABLE per-character durations.
+
+The quality loop (benchmarks/wer_e2e.py) needs a corpus whose audio
+provably encodes its text (zero egress: no LJSpeech, no Whisper).  Round
+3's corpus gave every character a fixed 60 ms chord + 30 ms gap, so the
+duration predictor's target was a constant and MAS paths were
+near-uniform — the reference's central training difficulty (variable
+phone durations, /root/reference/train_standalone.py:390-430) was
+untouched, and 4 held-out sentences quantized WER at 1/24.
+
+This module fixes both statistical power and duration realism:
+
+* 64 train / 40 held-out sentences (~270 held-out words -> WER
+  resolution ~0.4 %, vs the reference's 10-sentence / 0.91 % loop);
+* every character has a deterministic INTRINSIC duration (45-95 ms,
+  spread by a fixed per-letter table), scaled by a per-sentence
+  speaking RATE (0.85-1.10, crc32 of the text) and a per-position
+  JITTER (0.9-1.1, seeded per sentence) — so MAS must find genuinely
+  nonuniform monotonic paths and the duration predictor must learn
+  per-character statistics (its predictions are checked against the
+  intrinsic table by `benchmarks/wer_e2e.py`'s correlation report);
+* inter-character gaps are 40 ms (rate-scaled): >= 2.9 mel frames of
+  true silence between repeated letters, which together with the
+  stride-1 CTC judge drives the judge's ground-truth floor to 0.000
+  (round 3's 30 ms gaps + stride-2 stem merged "keeper" -> "keper").
+
+Everything is deterministic from the text alone — no global state, so
+train-time rendering, judge-time rendering, and truth extraction for
+the duration-correlation report always agree.
+"""
+
+from __future__ import annotations
+
+import zlib
+from pathlib import Path
+from typing import List, Tuple
+
+import numpy as np
+
+SR = 22050
+HOP = 256
+
+# -- acoustics ---------------------------------------------------------------
+# a-z -> (row, col) dual-tone chord; space -> a lone low tone (a silent
+# space would be confusable with inter-character gaps).  Frequencies sit
+# inside the 0-8 kHz acoustic mel band and below the 16 kHz-surface
+# Nyquist.  Col tones spaced GEOMETRICALLY (x1.25): the mel filterbank is
+# log-spaced above ~1 kHz and linear 400 Hz spacing left adjacent cols
+# 2.5-3.6 mel bins apart — below the trained generator's spectral
+# resolution (measured 2026-08-20: 'lazy' -> 'hasy' substitutions).
+ROW_HZ = (400.0, 800.0, 1200.0, 1600.0, 2000.0)
+COL_HZ = (2400.0, 3000.0, 3750.0, 4700.0, 5900.0, 7300.0)
+SPACE_HZ = 250.0
+
+# -- duration model ----------------------------------------------------------
+# intrinsic per-character durations: 45-95 ms spread over the alphabet by
+# a fixed decorrelating table (k*7 mod 26 walks the range so alphabet
+# neighbors get distant durations)
+DUR_MIN_MS, DUR_SPAN_MS = 45.0, 50.0
+SPACE_MS = 60.0
+GAP_MS = 40.0      # inter-character silence (rate-scaled)
+RAMP_SEC = 0.005   # attack/release to avoid clicks
+RATE_MIN, RATE_SPAN = 0.85, 0.25
+JITTER_MIN, JITTER_SPAN = 0.90, 0.20
+
+
+def char_tones(ch: str):
+    """'a'..'z' -> (f_row, f_col); space -> (SPACE_HZ,); else None."""
+    if "a" <= ch <= "z":
+        k = ord(ch) - ord("a")
+        return ROW_HZ[k // len(COL_HZ)], COL_HZ[k % len(COL_HZ)]
+    if ch == " ":
+        return (SPACE_HZ,)
+    return None
+
+
+def char_duration_ms(ch: str) -> float:
+    """Intrinsic (rate-1, jitter-1) duration of a character's chord."""
+    if ch == " ":
+        return SPACE_MS
+    k = ord(ch) - ord("a")
+    return DUR_MIN_MS + DUR_SPAN_MS * ((k * 7) % 26) / 25.0
+
+
+def sentence_rate(text: str) -> float:
+    """Deterministic per-sentence speaking rate in [0.85, 1.10]."""
+    h = zlib.crc32(text.encode("utf-8"))
+    return RATE_MIN + RATE_SPAN * ((h >> 8) % 4096) / 4095.0
+
+
+def _jitters(text: str) -> np.ndarray:
+    """Per-position duration jitter in [0.9, 1.1], seeded by the text."""
+    rng = np.random.default_rng(zlib.crc32(text.encode("utf-8")))
+    return JITTER_MIN + JITTER_SPAN * rng.random(len(text))
+
+
+def char_segments(text: str,
+                  rate_scale: float = 1.0) -> List[Tuple[str, int, int]]:
+    """Per character: (ch, n_tone_samples, n_gap_samples) — the exact
+    segment lengths `render_text` uses, exposed so truth extraction for
+    duration evaluation can never drift from the renderer.
+
+    `rate_scale` multiplies the sentence rate — ONLY for judge-training
+    augmentation (the ASR must recognize characters at rates it never
+    saw); the corpus the acoustic model trains on always uses 1.0 so
+    rendering stays deterministic from the text alone."""
+    text = text.lower()
+    rate = sentence_rate(text) * rate_scale
+    jit = _jitters(text)
+    n_gap = int(SR * (GAP_MS / 1000.0) * rate)
+    out = []
+    for i, ch in enumerate(text):
+        n_tone = int(SR * (char_duration_ms(ch) / 1000.0) * rate * jit[i])
+        out.append((ch, n_tone, n_gap))
+    return out
+
+
+def char_frames(text: str) -> np.ndarray:
+    """True mel frames per character (tone + its trailing gap) — the
+    duration-predictor truth, in the same units as the model's per-token
+    durations (frames at hop 256)."""
+    segs = char_segments(text)
+    frames = [(nt + ng) / HOP for _, nt, ng in segs]
+    frames[-1] -= segs[-1][2] / HOP  # no trailing gap after the last char
+    return np.asarray(frames, np.float64)
+
+
+def render_text(text: str, noise_rng=None,
+                rate_scale: float = 1.0) -> np.ndarray:
+    """Text -> float32 waveform in which each character is audible, with
+    per-character variable durations (see module docstring)."""
+    n_ramp = int(SR * RAMP_SEC)
+    pieces = []
+    segs = char_segments(text, rate_scale)
+    for ch, n_tone, n_gap in segs:
+        tones = char_tones(ch)
+        if tones is None:
+            pieces.append(np.zeros(n_tone, np.float64))
+        else:
+            t = np.arange(n_tone) / SR
+            env = np.ones(n_tone, np.float64)
+            env[:n_ramp] = np.linspace(0.0, 1.0, n_ramp)
+            env[-n_ramp:] = np.linspace(1.0, 0.0, n_ramp)
+            chord = 0.18 * sum(np.sin(2 * np.pi * f * t) for f in tones)
+            pieces.append(env * chord)
+        pieces.append(np.zeros(n_gap, np.float64))
+    wav = np.concatenate(pieces[:-1])  # no trailing gap
+    if noise_rng is not None:
+        wav = wav + 0.002 * noise_rng.standard_normal(len(wav))
+    return wav.astype(np.float32)
+
+
+# -- text material -----------------------------------------------------------
+# Sentences are composed deterministically from a word bank via fixed
+# templates.  Rules: lowercase a-z + space only, <= 44 characters (so the
+# longest rendered sentence fits the 640-frame bucket at the slowest
+# rate), every letter of the alphabet present in the train split, and
+# the held-out split disjoint from the train split as SENTENCES (chars
+# and most words are seen in training — like LJSpeech val).
+
+_ADJ = ["quick", "brown", "lazy", "bright", "fresh", "early", "silver",
+        "busy", "calm", "bold", "quiet", "warm", "wise", "young", "proud",
+        "gentle", "happy", "vivid", "plain", "sharp"]
+_NOUN = ["fox", "dog", "bird", "storm", "river", "keeper", "garden",
+         "doctor", "wizard", "basket", "cloud", "meadow", "puzzle",
+         "jacket", "valley", "summer", "window", "harbor", "melody",
+         "voyage", "zephyr", "quartz", "sphinx", "lamp", "piano", "maple"]
+_VERB = ["jumps over", "watches", "follows", "carries", "builds",
+         "paints", "guards", "crosses", "finds", "mixes", "sings to",
+         "visits", "repairs", "explores", "observes", "welcomes"]
+_TAIL = ["at dawn", "all day", "in june", "with joy", "by the bay",
+         "at night", "in spring", "with care", "by the sea", "in town"]
+
+_TEMPLATES = [
+    "the {adj} {noun} {verb} the {noun2}",
+    "a {adj} {noun} {verb} the {noun2} {tail}",
+    "the {noun} {verb} a {adj} {noun2}",
+    "every {adj} {noun} {verb} the {noun2}",
+    "the {adj} {noun} {verb} us {tail}",
+]
+
+
+def _compose(rng: np.random.Generator) -> str:
+    tpl = _TEMPLATES[int(rng.integers(len(_TEMPLATES)))]
+    for _ in range(64):
+        s = tpl.format(
+            adj=_ADJ[int(rng.integers(len(_ADJ)))],
+            noun=_NOUN[int(rng.integers(len(_NOUN)))],
+            noun2=_NOUN[int(rng.integers(len(_NOUN)))],
+            verb=_VERB[int(rng.integers(len(_VERB)))],
+            tail=_TAIL[int(rng.integers(len(_TAIL)))],
+        )
+        if len(s) <= 44:
+            return s
+        tpl = _TEMPLATES[int(rng.integers(len(_TEMPLATES)))]
+    raise RuntimeError("could not compose a <=44-char sentence")
+
+
+def _build_texts(n: int, seed: int, exclude=()) -> List[str]:
+    rng = np.random.default_rng(seed)
+    out: List[str] = []
+    seen = set(exclude)
+    while len(out) < n:
+        s = _compose(rng)
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+# hand-written anchors guarantee full alphabet coverage in training
+_ANCHORS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a wizard quickly jinxed the gnome before",
+    "pack my box with five dozen liquor jugs",
+    "how quickly daft jumping zebras vex us",
+]
+
+TRAIN_TEXTS: List[str] = _ANCHORS + _build_texts(60, seed=101,
+                                                 exclude=_ANCHORS)
+HELD_OUT_TEXTS: List[str] = _build_texts(40, seed=202, exclude=TRAIN_TEXTS)
+
+
+def n_words(texts) -> int:
+    return sum(len(t.split()) for t in texts)
+
+
+def max_frames(texts) -> int:
+    """Upper bound on rendered mel frames across `texts` (hop 256)."""
+    return int(max(float(np.sum(char_frames(t))) for t in texts)) + 4
+
+
+def make_tone_corpus(root: Path, sentences, seed: int = 0) -> None:
+    """Write the character-coded corpus in LJSpeech layout."""
+    from matcha_tts_tpu.utils.wav import write_wav
+
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    (root / "wavs").mkdir(exist_ok=True)
+    rng = np.random.default_rng(seed)
+    lines = []
+    for i, text in enumerate(sentences):
+        write_wav(root / "wavs" / f"utt{i:02d}.wav", render_text(text, rng),
+                  SR)
+        lines.append(f"utt{i:02d}|{text}|{text}")
+    (root / "metadata.csv").write_text("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    tr, ho = TRAIN_TEXTS, HELD_OUT_TEXTS
+    print(f"train: {len(tr)} sentences, {n_words(tr)} words, "
+          f"max {max(len(t) for t in tr)} chars, "
+          f"max {max_frames(tr)} frames")
+    print(f"heldout: {len(ho)} sentences, {n_words(ho)} words, "
+          f"max {max(len(t) for t in ho)} chars, "
+          f"max {max_frames(ho)} frames")
+    letters = set("".join(tr)) - {" "}
+    assert letters == set("abcdefghijklmnopqrstuvwxyz"), letters
+    assert not (set(ho) & set(tr))
+    rates = [sentence_rate(t) for t in tr + ho]
+    print(f"rates: {min(rates):.3f}-{max(rates):.3f}")
+    for t in ho[:5]:
+        print(" ", t)

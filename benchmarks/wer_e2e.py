@@ -6,18 +6,26 @@ sentences, transcribe with Whisper-medium, score with jiwer
 downloaded here (zero egress), so this benchmark runs the SAME loop with
 an in-repo judge on a corpus whose audio provably encodes its text:
 
-  1. character-coded corpus: every character is a unique dual-tone chord
-     (DTMF-style row/col frequencies), space is silence, with short
-     silence gaps between characters — so a recognizer genuinely has to
-     read the text out of the audio;
+  1. character-coded corpus (benchmarks/tone_corpus.py): every character
+     is a unique dual-tone chord with a VARIABLE duration — intrinsic
+     per-character length (45-95 ms) x per-sentence speaking rate x
+     per-position jitter — so MAS must find nonuniform monotonic paths
+     and the duration predictor must learn per-character statistics
+     (checked by an explicit predicted-vs-rendered correlation report);
+     64 train / 40 held-out sentences (~270 held-out words -> WER
+     resolution ~0.4 %);
   2. `fit()` the full-size (18M) Matcha model on it — real training
      (on-device log-mel -> MAS -> dur/prior/CFM losses -> Adam, the
      train_standalone.py:623-685 semantics);
   3. train the in-repo CTC ASR (matcha_tts_tpu/eval/ctc_asr.py) on the
-     ground-truth log-mels of the TRAIN split only;
+     ground-truth log-mels of the TRAIN split only — with a STRIDE-1
+     stem: the stride-2 default merged repeated letters across the old
+     30 ms gaps ("keeper" -> "keper"), putting a 4 % floor under every
+     measurement; stride 1 + 40 ms gaps drive the floor to 0.000;
   4. judge sanity: WER on held-out GROUND-TRUTH audio through the full
      `evaluate_wer` surface (wav -> 16 kHz resample -> ASR callable),
-     proving the judge generalizes to utterances it never saw;
+     proving the judge generalizes to utterances it never saw
+     (required: 0.000, so every synthesized error is model damage);
   5. synthesize train + held-out texts with the trained model and report
      WER — memorization and generalization intelligibility;
   6. (--vocoder-steps > 0) GAN-train each vocoder family on the TRAIN
@@ -61,87 +69,12 @@ from matcha_tts_tpu.eval.wer import evaluate_wer, normalize_for_wer, \
 from matcha_tts_tpu.models.matcha import synthesize
 from matcha_tts_tpu.ops.stft import log_mel_spectrogram
 from matcha_tts_tpu.train.loop import fit
-from matcha_tts_tpu.utils.wav import write_wav
 
-from benchmarks.distill_e2e import CORPUS, _tokens
-
-# Held-out texts (unseen char sequences; <=44 chars so the rendered audio
-# fits the 384-frame bucket at 90 ms per character).
-HELD_OUT = [
-    "the lighthouse keeper watched the storm",
-    "fresh vegetables make every meal better",
-    "children played in the autumn park",
-    "a bright symphony filled the night air",
-]
-
-SR = 22050
-HOP = 256
-
-# Character acoustics: a-z -> (row, col) dual-tone chord, space -> a lone
-# low tone (a silent space is confusable with the inter-character gaps).
-# Frequencies sit inside the 0-8 kHz acoustic mel band and below the 16 kHz
-# Nyquist that `resample_to_16k` (the Whisper-surface resample) imposes.
-# Col tones are spaced GEOMETRICALLY (x1.25): the mel filterbank is
-# log-spaced above ~1 kHz, so the original linear 400 Hz spacing left
-# adjacent cols only 2.5-3.6 mel bins apart — below the trained
-# generator's spectral resolution (measured 2026-08-20: a converged
-# model substituted same-row / adjacent-col characters, 'lazy'->'hasy').
-# Geometric spacing keeps every adjacent pair ~6 mel bins apart, matching
-# the rows' measured-learnable ~6.6-bin spacing.
-ROW_HZ = (400.0, 800.0, 1200.0, 1600.0, 2000.0)
-COL_HZ = (2400.0, 3000.0, 3750.0, 4700.0, 5900.0, 7300.0)
-SPACE_HZ = 250.0
-TONE_SEC = 0.060   # per-character chord length (~5 mel frames)
-GAP_SEC = 0.030    # inter-character silence: ~2.6 frames, so repeated
-                   # chars still separate after the ASR's stride-2 stem
-RAMP_SEC = 0.005   # attack/release to avoid clicks
-
-
-def char_tones(ch: str):
-    """'a'..'z' -> (f_row, f_col); space -> (SPACE_HZ,); else None."""
-    if "a" <= ch <= "z":
-        k = ord(ch) - ord("a")
-        return ROW_HZ[k // len(COL_HZ)], COL_HZ[k % len(COL_HZ)]
-    if ch == " ":
-        return (SPACE_HZ,)
-    return None
-
-
-def render_text(text: str, noise_rng=None) -> np.ndarray:
-    """Text -> float32 waveform in which each character is audible."""
-    n_tone, n_gap = int(SR * TONE_SEC), int(SR * GAP_SEC)
-    n_ramp = int(SR * RAMP_SEC)
-    env = np.ones(n_tone, np.float64)
-    env[:n_ramp] = np.linspace(0.0, 1.0, n_ramp)
-    env[-n_ramp:] = np.linspace(1.0, 0.0, n_ramp)
-    t = np.arange(n_tone) / SR
-    gap = np.zeros(n_gap, np.float64)
-    pieces = []
-    for ch in text.lower():
-        tones = char_tones(ch)
-        if tones is None:
-            pieces.append(np.zeros(n_tone, np.float64))
-        else:
-            chord = 0.18 * sum(np.sin(2 * np.pi * f * t) for f in tones)
-            pieces.append(env * chord)
-        pieces.append(gap)
-    wav = np.concatenate(pieces[:-1])  # no trailing gap
-    if noise_rng is not None:
-        wav = wav + 0.002 * noise_rng.standard_normal(len(wav))
-    return wav.astype(np.float32)
-
-
-def make_tone_corpus(root: Path, sentences, seed: int = 0) -> None:
-    """Write the character-coded corpus in LJSpeech layout."""
-    root.mkdir(parents=True, exist_ok=True)
-    (root / "wavs").mkdir(exist_ok=True)
-    rng = np.random.default_rng(seed)
-    lines = []
-    for i, text in enumerate(sentences):
-        write_wav(root / "wavs" / f"utt{i:02d}.wav", render_text(text, rng),
-                  SR)
-        lines.append(f"utt{i:02d}|{text}|{text}")
-    (root / "metadata.csv").write_text("\n".join(lines) + "\n")
+from benchmarks.distill_e2e import _tokens
+from benchmarks.tone_corpus import (HELD_OUT_TEXTS, HOP, SR, TRAIN_TEXTS,
+                                    char_frames, char_tones,
+                                    make_tone_corpus, max_frames, n_words,
+                                    render_text)
 
 
 def _n_frames(wav_len: int, a) -> int:
@@ -157,19 +90,29 @@ def _gt_logmel(audio, sample_rate, n_fft, n_mels, hop, win, f_min, f_max):
                                f_min, f_max)
 
 
-def featurize_texts(texts, a, frame_bucket: int, noise_seed=None):
+def featurize_texts(texts, a, frame_bucket: int, noise_seed=None,
+                    rate_scales=(1.0,)):
     """Render + log-mel a list of texts -> (B, frame_bucket, n_mels) fp32
-    padded with the mel floor, plus true frame lengths."""
+    padded with the mel floor, plus true frame lengths.
+
+    `rate_scales` with more than one entry is judge-training
+    augmentation: each text rendered at several speaking-rate multiples
+    (rows ordered text-major: all scales of text 0, then text 1, ...) so
+    the ASR generalizes to held-out sentences' unseen rates."""
     rng = (np.random.default_rng(noise_seed)
            if noise_seed is not None else None)
     wav_bucket = (frame_bucket - 1) * a.hop_length + a.n_fft - 2 * int(
         (a.n_fft - a.hop_length) / 2)
-    audio = np.zeros((len(texts), wav_bucket), np.float32)
-    lens = np.zeros((len(texts),), np.int32)
-    for i, text in enumerate(texts):
-        w = render_text(text, rng)[:wav_bucket]
-        audio[i, : len(w)] = w
-        lens[i] = min(_n_frames(len(w), a), frame_bucket)
+    n = len(texts) * len(rate_scales)
+    audio = np.zeros((n, wav_bucket), np.float32)
+    lens = np.zeros((n,), np.int32)
+    i = 0
+    for text in texts:
+        for rs in rate_scales:
+            w = render_text(text, rng, rate_scale=rs)[:wav_bucket]
+            audio[i, : len(w)] = w
+            lens[i] = min(_n_frames(len(w), a), frame_bucket)
+            i += 1
     mel = np.array(_gt_logmel(jnp.asarray(audio), a.sample_rate, a.n_fft,
                               a.n_mels, a.hop_length, a.win_length,
                               a.f_min, a.f_max)).transpose(0, 2, 1)
@@ -217,7 +160,40 @@ def synth_wer(params, cfg, asr_params, asr_cfg, texts, text_bucket: int,
             for t, h in zip(texts, hyps)]
     return {"mean_wer": float(np.mean(wers)),
             "per_sentence_wer": [float(w) for w in wers],
-            "hypotheses": hyps, "mel_btc": mel, "lens": lens}
+            "hypotheses": hyps, "mel_btc": mel, "lens": lens,
+            "durations": np.asarray(out.durations, np.int32),
+            "n_words": n_words(texts)}
+
+
+def duration_report(durations: np.ndarray, texts):
+    """Duration-predictor-vs-truth correlations.
+
+    `durations`: (B, T_x) integer per-token frames from `synthesize`
+    (ceil(exp(logw)), length_scale=1) over the 2n+1 blank-interspersed
+    token layout — char i's token sits at 2i+1 and its trailing gap
+    aligns to the following blank at 2i+2.
+
+    Returns (r_char, r_sentence):
+      r_char     — Pearson r between predicted frames per character
+                   (char token + following blank) and the renderer's
+                   true segment frames (`tone_corpus.char_frames`);
+                   bounded below 1.0 by the rate/jitter variance the
+                   text-deterministic predictor cannot see;
+      r_sentence — Pearson r between predicted and true TOTAL frames
+                   per sentence.
+    """
+    pred_char, true_char, pred_tot, true_tot = [], [], [], []
+    for b, t in enumerate(texts):
+        tf = char_frames(t)
+        d = np.asarray(durations[b], np.float64)
+        for i in range(len(t)):
+            pred_char.append(d[2 * i + 1] + d[2 * i + 2])
+            true_char.append(tf[i])
+        pred_tot.append(float(d.sum()))
+        true_tot.append(float(tf.sum()))
+    r_char = float(np.corrcoef(pred_char, true_char)[0, 1])
+    r_sent = float(np.corrcoef(pred_tot, true_tot)[0, 1])
+    return r_char, r_sent
 
 
 def train_vocoder_gan(family: str, train_wavs, acfg, steps: int,
@@ -258,13 +234,16 @@ def train_vocoder_gan(family: str, train_wavs, acfg, steps: int,
 
 def vocoded_wer(mel_btc: np.ndarray, lens: np.ndarray, texts, gen_params,
                 vcfg, acfg, asr_fn, denoise_strength: float = 0.0,
-                dtype=None):
+                dtype=None, chunk: int = 4):
     """Judge mels through the wav surface: vocoder (-> denoiser) -> crop
     -> `evaluate_wer` (16 kHz resample + ASR callable inside).
 
     mel_btc: (B, T, n_mels) denormalized log-mel, frames beyond `lens`
     at the mel floor.  `dtype` = jnp.bfloat16 reproduces the serving cast
-    (params and activations); None keeps fp32.
+    (params and activations); None keeps fp32.  The batch is vocoded in
+    `chunk`-row slices (one compiled shape, last slice padded): fp32
+    HiFi-GAN activations at wav rate exceed HBM beyond batch ~16, and
+    the round-4 corpus judges 40 held-out sentences at once.
     """
     from matcha_tts_tpu.models import vocoder as vocoder_mod
 
@@ -284,7 +263,16 @@ def vocoded_wer(mel_btc: np.ndarray, lens: np.ndarray, texts, gen_params,
             wav = denoise(dn, wav, denoise_strength)
         return wav
 
-    wav = np.asarray(run(jnp.asarray(mel_btc, np.float32)))
+    b = mel_btc.shape[0]
+    pieces = []
+    for i in range(0, b, chunk):
+        m = mel_btc[i : i + chunk]
+        if m.shape[0] < chunk:  # pad to the compiled shape
+            pad = np.full((chunk - m.shape[0],) + m.shape[1:],
+                          MEL_PAD_VALUE, m.dtype)
+            m = np.concatenate([m, pad], axis=0)
+        pieces.append(np.asarray(run(jnp.asarray(m, np.float32))))
+    wav = np.concatenate(pieces, axis=0)[:b]
     hop = acfg.hop_length
     wavs = [wav[i, : min(int(l) * hop, wav.shape[1])]
             for i, l in enumerate(lens)]
@@ -328,9 +316,10 @@ def main(argv=None):
                          "CTC judge .npz, and golden held-out synth mels")
     args = ap.parse_args(argv)
 
-    text_bucket, frame_bucket = 128, 384
+    text_bucket, frame_bucket = 128, 512
+    assert max_frames(TRAIN_TEXTS + HELD_OUT_TEXTS) <= frame_bucket
     root = Path(args.data_root)
-    make_tone_corpus(root, CORPUS)
+    make_tone_corpus(root, TRAIN_TEXTS)
     train_fl, val_fl = create_filelists(root, val_fraction=0.1)
 
     if args.preset == "tiny":
@@ -381,12 +370,22 @@ def main(argv=None):
                                            mel_std=std))
     a = cfg.audio
 
-    # 1. judge: CTC ASR trained on TRAIN-split ground-truth mels only
+    # 1. judge: CTC ASR trained on TRAIN-split ground-truth mels only.
+    #    stride=1: the stride-2 stem halves time resolution, which merged
+    #    repeated letters into one CTC emission and floored every WER at
+    #    ~4 % (VERDICT r3 weak #3); at stride 1 the >=2.9-frame gaps
+    #    always yield a blank between repeats.
     print("== training the CTC ASR judge on ground-truth mels ==")
-    gt_mel, gt_lens = featurize_texts(CORPUS, a, frame_bucket, noise_seed=1)
-    labels, label_lens = pack_labels(CORPUS)
+    # rate-scale augmentation (train texts only): each character must be
+    # recognizable at speaking rates the judge never saw, since held-out
+    # sentences carry their own rates
+    scales = (0.9, 1.0, 1.1)
+    gt_mel, gt_lens = featurize_texts(TRAIN_TEXTS, a, frame_bucket,
+                                      noise_seed=1, rate_scales=scales)
+    labels, label_lens = pack_labels(
+        [t for t in TRAIN_TEXTS for _ in scales])
     t0 = time.time()
-    asr_cfg = CTCASRConfig(n_mels=a.n_mels)
+    asr_cfg = CTCASRConfig(n_mels=a.n_mels, stride=1)
     asr_params = train_ctc_asr(jax.random.PRNGKey(11), gt_mel, gt_lens,
                                labels, label_lens, asr_cfg,
                                steps=args.asr_steps, lr=1e-3, log_every=100)
@@ -397,14 +396,18 @@ def main(argv=None):
     print(f"judge saved: {judge_path} "
           f"(usable via benchmarks/evaluate.py --ctc-asr)")
 
-    # 2. judge sanity on held-out GROUND-TRUTH audio, full wav surface
-    held_wavs = [render_text(t, np.random.default_rng(2)) for t in HELD_OUT]
+    # 2. judge sanity on held-out GROUND-TRUTH audio, full wav surface.
+    #    The floor must be 0.000 — otherwise "vocoder adds no damage" is
+    #    indistinguishable from "judge can't see the damage".
+    held_wavs = [render_text(t, np.random.default_rng(2))
+                 for t in HELD_OUT_TEXTS]
     asr_fn = make_asr_callable(asr_params, asr_cfg, a, frame_bucket)
-    gt = evaluate_wer(HELD_OUT, held_wavs, SR, asr_fn)
+    gt = evaluate_wer(HELD_OUT_TEXTS, held_wavs, SR, asr_fn)
     print(f"judge WER on held-out ground-truth audio: "
-          f"{gt['mean_wer']:.4f}")
-    for h in gt["hypotheses"]:
-        print(f"  gt hyp: {h}")
+          f"{gt['mean_wer']:.4f} over {n_words(HELD_OUT_TEXTS)} words")
+    for t, h in zip(HELD_OUT_TEXTS, gt["hypotheses"]):
+        if normalize_for_wer(t) != h:
+            print(f"  gt MISS: {normalize_for_wer(t)!r} -> {h!r}")
 
     # 3. train the acoustic model
     print("== training Matcha ==")
@@ -425,17 +428,33 @@ def main(argv=None):
     with open(Path(args.work_dir) / "matcha_trained.pkl", "wb") as f:
         pickle.dump({"params": params, "cfg_json": config_to_json(cfg)}, f)
 
-    # 4. intelligibility of the synthesized mels
-    results = {"wer_groundtruth_heldout": gt["mean_wer"]}
+    # 4. intelligibility of the synthesized mels + duration-model report
+    results = {"wer_groundtruth_heldout": gt["mean_wer"],
+               "n_heldout_words": n_words(HELD_OUT_TEXTS),
+               "n_train_words": n_words(TRAIN_TEXTS)}
     synth_sets = {}
-    for name, texts in (("train", list(CORPUS[:8])), ("heldout", HELD_OUT)):
+    for name, texts in (("train", list(TRAIN_TEXTS[:12])),
+                        ("heldout", HELD_OUT_TEXTS)):
         r = synth_wer(params, cfg, asr_params, asr_cfg, texts, text_bucket,
                       frame_bucket, args.nfe, args.temperature)
         synth_sets[name] = (texts, r)
         results[f"wer_synth_{name}"] = r["mean_wer"]
-        print(f"synth WER ({name}): {r['mean_wer']:.4f}")
+        print(f"synth WER ({name}): {r['mean_wer']:.4f} over "
+              f"{r['n_words']} words")
         for t, h in zip(texts, r["hypotheses"]):
-            print(f"  ref: {normalize_for_wer(t)}\n  hyp: {h}")
+            if normalize_for_wer(t) != h:
+                print(f"  MISS: {normalize_for_wer(t)!r} -> {h!r}")
+
+    # the duration predictor must have learned per-character statistics:
+    # correlate its held-out predictions against the renderer's true
+    # segment lengths (the reference's duration realism,
+    # train_standalone.py:390-430, made measurable)
+    r_char, r_sent = duration_report(synth_sets["heldout"][1]["durations"],
+                                     HELD_OUT_TEXTS)
+    results["duration_corr_char"] = r_char
+    results["duration_corr_sentence"] = r_sent
+    print(f"duration predictor vs rendered truth: per-char r={r_char:.3f} "
+          f"per-sentence r={r_sent:.3f}")
 
     # 5. vocoder inside the judged loop: text -> mel -> vocoder
     #    (-> denoiser) -> wav -> 16 kHz -> ASR, the exact chain the
@@ -448,7 +467,8 @@ def main(argv=None):
         train_wavs = [load_wav(p[0])[0] for p in parse_filelist(train_fl)]
         # ground-truth-mel resynthesis set: isolates vocoder damage from
         # acoustic-model damage (same held-out texts, true features)
-        gt_mel_held, gt_lens_held = featurize_texts(HELD_OUT, a, frame_bucket,
+        gt_mel_held, gt_lens_held = featurize_texts(HELD_OUT_TEXTS, a,
+                                                    frame_bucket,
                                                     noise_seed=2)
         on_tpu = jax.default_backend() not in ("cpu",)
         for family in args.vocoder_families.split(","):
@@ -483,10 +503,12 @@ def main(argv=None):
                     results[key] = w["mean_wer"]
                     print(f"{key}: {w['mean_wer']:.4f}")
                     if name == "heldout":
-                        for h in w["hypotheses"]:
-                            print(f"  hyp: {h}")
+                        for t, h in zip(texts, w["hypotheses"]):
+                            if normalize_for_wer(t) != h:
+                                print(f"  MISS: {normalize_for_wer(t)!r} "
+                                      f"-> {h!r}")
                 # vocoder-only damage: resynthesize ground-truth mels
-                w = vocoded_wer(gt_mel_held, gt_lens_held, HELD_OUT,
+                w = vocoded_wer(gt_mel_held, gt_lens_held, HELD_OUT_TEXTS,
                                 gen_params, mcfg, a, asr_fn,
                                 denoise_strength=dstr, dtype=dt)
                 results[f"wer_wav_{family}_{mode}_gtmel"] = w["mean_wer"]
@@ -495,8 +517,9 @@ def main(argv=None):
     if args.eval_grid:
         for nfe in (4, 10, 32):
             for temp in (0.0, 0.3, 0.667):
-                r = synth_wer(params, cfg, asr_params, asr_cfg, HELD_OUT,
-                              text_bucket, frame_bucket, nfe, temp)
+                r = synth_wer(params, cfg, asr_params, asr_cfg,
+                              HELD_OUT_TEXTS, text_bucket, frame_bucket,
+                              nfe, temp)
                 key = f"wer_heldout_nfe{nfe}_t{temp}"
                 results[key] = r["mean_wer"]
                 print(f"grid {key}: {r['mean_wer']:.4f}")
@@ -523,17 +546,26 @@ def main(argv=None):
         }
         torch.save(ckpt, out / "matcha_tone.ckpt")
         save_ctc_asr(out / "ctc_judge.npz", asr_params, asr_cfg)
-        # golden held-out synth mels at a fixed seed (regression anchors)
-        x, xl = _tokens(HELD_OUT, text_bucket)
+        # golden held-out synth mels at a fixed seed (regression anchors);
+        # a 12-sentence subset keeps the committed artifact small while
+        # the WER bound in results covers the full 40
+        golden_texts = HELD_OUT_TEXTS[:12]
+        x, xl = _tokens(golden_texts, text_bucket)
         g = _synth(params, jax.random.PRNGKey(7), x, xl, cfg, args.nfe,
                    frame_bucket, args.temperature)
         np.savez_compressed(
             out / "goldens.npz",
             mel=np.asarray(g.mel, np.float32),
             y_lengths=np.asarray(g.y_lengths, np.int32),
-            texts=np.array(HELD_OUT), nfe=np.int32(args.nfe),
+            texts=np.array(golden_texts), nfe=np.int32(args.nfe),
             temperature=np.float32(args.temperature),
-            wer_synth_heldout=np.float32(results["wer_synth_heldout"]))
+            text_bucket=np.int32(text_bucket),
+            frame_bucket=np.int32(frame_bucket),
+            wer_synth_heldout=np.float32(results["wer_synth_heldout"]),
+            wer_groundtruth_heldout=np.float32(
+                results["wer_groundtruth_heldout"]),
+            duration_corr_char=np.float32(r_char),
+            duration_corr_sentence=np.float32(r_sent))
         print(f"artifacts written to {out}")
 
     print(json.dumps(results))

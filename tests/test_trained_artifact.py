@@ -34,7 +34,11 @@ pytestmark = pytest.mark.skipif(
     reason="trained artifacts not generated (benchmarks/wer_e2e.py "
            "--save-artifacts)")
 
-TEXT_BUCKET, FRAME_BUCKET = 128, 384  # creation-run buckets (wer_e2e.py)
+def _buckets(goldens):
+    """Creation-run buckets: stored in goldens.npz since the round-4
+    variable-duration corpus (earlier artifacts used 128/384)."""
+    return (int(goldens.get("text_bucket", 128)),
+            int(goldens.get("frame_bucket", 384)))
 
 
 @pytest.fixture(scope="module")
@@ -57,16 +61,17 @@ def _synth_heldout(matcha_params, cfg, goldens):
     from matcha_tts_tpu.models.matcha import synthesize
     from matcha_tts_tpu.text.tokenizer import encode_text
 
+    text_bucket, frame_bucket = _buckets(goldens)
     texts = [str(t) for t in goldens["texts"]]
-    x = np.zeros((len(texts), TEXT_BUCKET), np.int32)
+    x = np.zeros((len(texts), text_bucket), np.int32)
     xl = np.ones((len(texts),), np.int32)
     for r, t in enumerate(texts):
-        ids = np.asarray(encode_text(t, add_blank=True))[:TEXT_BUCKET]
+        ids = np.asarray(encode_text(t, add_blank=True))[:text_bucket]
         x[r, : len(ids)] = ids
         xl[r] = len(ids)
     out = synthesize(matcha_params, jax.random.PRNGKey(7), jnp.asarray(x),
                      jnp.asarray(xl), cfg, n_timesteps=int(goldens["nfe"]),
-                     t_y_max=FRAME_BUCKET,
+                     t_y_max=frame_bucket,
                      temperature=float(goldens["temperature"]))
     return texts, np.asarray(out.mel, np.float32), np.asarray(
         out.y_lengths, np.int32)
@@ -102,6 +107,19 @@ def test_trained_synth_matches_golden_mels(loaded):
     # a drift bound, not bit equality (bit equality per backend is covered
     # by test_regression.py).
     assert max(diffs) < 0.35, diffs
+
+
+def test_creation_run_quality_stats(loaded):
+    """The creation run's recorded evidence must meet the quality bar:
+    judge floor exactly 0 on ground-truth held-out audio (so synthesized
+    errors are model damage, not judge damage) and a duration predictor
+    that actually tracks the corpus's variable per-character durations."""
+    *_, goldens = loaded
+    if "wer_groundtruth_heldout" not in goldens:
+        pytest.skip("artifacts predate the variable-duration corpus")
+    assert float(goldens["wer_groundtruth_heldout"]) == 0.0
+    assert float(goldens["duration_corr_char"]) > 0.6
+    assert float(goldens["duration_corr_sentence"]) > 0.9
 
 
 def test_trained_model_is_intelligible_on_heldout_texts(loaded):
