@@ -198,7 +198,8 @@ def duration_report(durations: np.ndarray, texts):
 
 def train_vocoder_gan(family: str, train_wavs, acfg, steps: int,
                       batch: int = 16, segment: int = 8192, seed: int = 0,
-                      report_every: int = 200, lr: float = 2e-4, hcfg=None):
+                      report_every: int = 200, lr: float = 2e-4, hcfg=None,
+                      grad_clip=None):
     """GAN-train one vocoder family from scratch on raw training audio.
 
     Returns (gen_params on host, family config).  Same recipe as
@@ -216,19 +217,30 @@ def train_vocoder_gan(family: str, train_wavs, acfg, steps: int,
     else:
         hcfg, discs = hcfg or HiFiGANConfig(), ("mpd", "msd")
     state = create_gan_state(jax.random.PRNGKey(seed), hcfg,
-                             learning_rate=lr, discriminators=discs)
+                             learning_rate=lr, discriminators=discs,
+                             grad_clip=grad_clip)
     rng = np.random.default_rng(seed)
     for step in range(steps):
         audio = jnp.asarray(np.stack([
             random_segment_np(rng, train_wavs[int(i)], segment,
                               acfg.hop_length)
             for i in rng.integers(0, len(train_wavs), size=batch)]))
-        state, d_loss = gan_disc_step(state, audio, hcfg, acfg)
-        state, metrics = gan_gen_step(state, audio, hcfg, acfg)
+        state, d_loss = gan_disc_step(state, audio, hcfg, acfg,
+                                      grad_clip=grad_clip)
+        state, metrics = gan_gen_step(state, audio, hcfg, acfg,
+                                      grad_clip=grad_clip)
         if report_every and (step + 1) % report_every == 0:
+            m, d = float(metrics["mel_l1"]), float(d_loss)
             print(f"  {family} gan step {step + 1}: "
-                  f"mel_l1 {float(metrics['mel_l1']):.4f} "
-                  f"disc {float(d_loss):.4f}")
+                  f"mel_l1 {m:.4f} disc {d:.4f}")
+            # fail loudly on PARAMETER divergence instead of judging NaN
+            # audio (a NaN loss on a single step is survivable — with
+            # grad_clip the optimizer skips non-finite updates)
+            leaf = jax.tree_util.tree_leaves(state.gen_params)[0]
+            if not bool(jnp.isfinite(leaf).all()):
+                raise FloatingPointError(
+                    f"{family} GAN parameters diverged by step "
+                    f"{step + 1} (mel_l1={m}, disc={d})")
     return jax.device_get(state.gen_params), hcfg
 
 
@@ -298,6 +310,10 @@ def main(argv=None):
     ap.add_argument("--segment", type=int, default=8192)
     ap.add_argument("--denoise-strength", type=float, default=2.5e-4,
                     help="HiFi-GAN denoiser strength (main.py:117)")
+    ap.add_argument("--gan-grad-clip", type=float, default=10.0,
+                    help="global-norm gradient clip for the vocoder GANs "
+                         "(0 disables); without it Vocos+MRD diverges on "
+                         "this silence-heavy corpus at step ~1100")
     ap.add_argument("--eval-grid", action="store_true",
                     help="also report held-out WER over an (NFE, "
                          "temperature) grid to separate under-training "
@@ -455,6 +471,22 @@ def main(argv=None):
     results["duration_corr_sentence"] = r_sent
     print(f"duration predictor vs rendered truth: per-char r={r_char:.3f} "
           f"per-sentence r={r_sent:.3f}")
+    # token-level attribution is laundered by MAS blank-wobble (adjacent
+    # blank/char tokens trade frames; measured round 4), so the defining
+    # metric is on the AUDIO surface: segment the synthesized mel into
+    # tone runs and correlate audible per-character durations
+    from benchmarks.tone_corpus import audible_duration_stats
+
+    hr = synth_sets["heldout"][1]
+    aud = audible_duration_stats(hr["mel_btc"].transpose(0, 2, 1),
+                                 hr["lens"], HELD_OUT_TEXTS)
+    results["duration_audible_match_rate"] = aud["match_rate"]
+    results["duration_audible_r_intrinsic"] = aud.get("r_intrinsic", 0.0)
+    results["duration_audible_r_rendered"] = aud.get("r_rendered", 0.0)
+    print(f"audible per-char durations: tone-count match "
+          f"{aud['match_rate']:.2f}, r_intrinsic "
+          f"{aud.get('r_intrinsic', 0):.3f}, r_rendered "
+          f"{aud.get('r_rendered', 0):.3f} over {aud['n_chars']} chars")
 
     # 5. vocoder inside the judged loop: text -> mel -> vocoder
     #    (-> denoiser) -> wav -> 16 kHz -> ASR, the exact chain the
@@ -477,7 +509,8 @@ def main(argv=None):
             t0 = time.time()
             gen_params, vcfg = train_vocoder_gan(
                 family, train_wavs, a, steps=args.vocoder_steps,
-                batch=args.vocoder_batch, segment=args.segment)
+                batch=args.vocoder_batch, segment=args.segment,
+                grad_clip=args.gan_grad_clip or None)
             print(f"{family} trained: {args.vocoder_steps} steps in "
                   f"{time.time() - t0:.0f}s")
             with open(Path(args.work_dir) / f"{family}_gen.pkl", "wb") as f:
@@ -565,7 +598,11 @@ def main(argv=None):
             wer_groundtruth_heldout=np.float32(
                 results["wer_groundtruth_heldout"]),
             duration_corr_char=np.float32(r_char),
-            duration_corr_sentence=np.float32(r_sent))
+            duration_corr_sentence=np.float32(r_sent),
+            duration_audible_r_intrinsic=np.float32(
+                results["duration_audible_r_intrinsic"]),
+            duration_audible_match_rate=np.float32(
+                results["duration_audible_match_rate"]))
         print(f"artifacts written to {out}")
 
     print(json.dumps(results))

@@ -187,8 +187,13 @@ def discriminator_r(params, audio: jnp.ndarray, resolution):
     from matcha_tts_tpu.ops.stft import stft_magnitude_and_phase
 
     n_fft, hop, win = resolution
+    # magnitude_eps bounds d|z|/dz ~ 1/|z| on near-silent bins: without
+    # it, GAN training on silence-heavy audio amplifies gradients ~1e8
+    # through the sqrt and diverges to NaN (measured round 4: Vocos+MRD
+    # died at step ~1100-1500 with and without global-norm clipping;
+    # the UnivNet/Vocos reference MRD uses the same 1e-9 stabilizer)
     mag, _ = stft_magnitude_and_phase(audio.astype(jnp.float32), n_fft, hop,
-                                      win, center=True)
+                                      win, center=True, magnitude_eps=1e-9)
     x = jnp.moveaxis(mag, -2, -1)[..., None]  # (B, n_frames, n_freqs, 1)
     fmap = []
     for conv, (kh, kw, _, _, sw) in zip(params["convs"], _MRD_SPEC):

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,10 +45,30 @@ class GanTrainState(NamedTuple):
 
 def make_gan_optimizers(learning_rate: float = 2e-4, b1: float = 0.8,
                         b2: float = 0.99, lr_decay: float = 0.999,
-                        decay_every: int = 1000):
-    """Adam(b1=0.8, b2=0.99) with exponential decay, per hifigan/config.py."""
+                        decay_every: int = 1000,
+                        grad_clip: Optional[float] = None):
+    """Adam(b1=0.8, b2=0.99) with exponential decay, per hifigan/config.py.
+
+    `grad_clip` adds global-norm clipping before Adam: GAN training on
+    sparse/silence-heavy corpora can spike gradients into NaN (measured
+    round 4: full-size Vocos+MPD/MRD on the tone corpus diverged at step
+    ~1100 with lr 2e-4); pass the same value to create_gan_state and the
+    step functions (it changes the opt-state pytree structure)."""
     sched = optax.exponential_decay(learning_rate, decay_every, lr_decay)
-    return optax.adam(sched, b1=b1, b2=b2), optax.adam(sched, b1=b1, b2=b2)
+
+    def tx():
+        opt = optax.adam(sched, b1=b1, b2=b2)
+        if grad_clip is not None:
+            # apply_if_finite: a single inf/NaN-gradient step is SKIPPED
+            # instead of poisoning Adam state + params (clipping alone
+            # cannot save such a step: the global norm is inf and the
+            # scale becomes NaN)
+            return optax.apply_if_finite(
+                optax.chain(optax.clip_by_global_norm(grad_clip), opt),
+                max_consecutive_errors=32)
+        return opt
+
+    return tx(), tx()
 
 
 def _disc_registry():
@@ -73,6 +93,7 @@ def create_gan_state(key, hcfg: HiFiGANConfig, learning_rate: float = 2e-4,
                      use_weight_norm: bool = False,
                      gen_params=None,
                      discriminators: Tuple[str, ...] = ("mpd", "msd"),
+                     grad_clip: Optional[float] = None,
                      ) -> GanTrainState:
     """`use_weight_norm=True` stores generator and discriminators in the
     reference's (v, g) training parameterization (train/weight_norm.py);
@@ -95,7 +116,7 @@ def create_gan_state(key, hcfg: HiFiGANConfig, learning_rate: float = 2e-4,
     if use_weight_norm:
         gen = wn.decompose(gen)
         disc = wn.decompose(disc)
-    g_tx, d_tx = make_gan_optimizers(learning_rate)
+    g_tx, d_tx = make_gan_optimizers(learning_rate, grad_clip=grad_clip)
     return GanTrainState(
         step=jnp.zeros((), jnp.int32),
         gen_params=gen,
@@ -174,10 +195,11 @@ def _mel_full_band(audio, acfg: AudioConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("hcfg", "acfg", "lr",
-                                             "weight_norm"))
+                                             "weight_norm", "grad_clip"))
 def gan_disc_step(state: GanTrainState, audio: jnp.ndarray,
                   hcfg: HiFiGANConfig, acfg: AudioConfig, lr: float = 2e-4,
-                  weight_norm: bool = False):
+                  weight_norm: bool = False,
+                  grad_clip: Optional[float] = None):
     """Discriminator update (LS-GAN): real audio vs generator(mel(real))."""
     _check_wn(state, weight_norm)
     hcfg = _xla_generator_cfg(hcfg)
@@ -195,17 +217,18 @@ def gan_disc_step(state: GanTrainState, audio: jnp.ndarray,
                    for o in outs.values())
 
     loss, grads = jax.value_and_grad(loss_fn)(state.disc_params)
-    _, d_tx = make_gan_optimizers(lr)
+    _, d_tx = make_gan_optimizers(lr, grad_clip=grad_clip)
     updates, new_opt = d_tx.update(grads, state.disc_opt, state.disc_params)
     new_disc = optax.apply_updates(state.disc_params, updates)
     return state._replace(disc_params=new_disc, disc_opt=new_opt), loss
 
 
 @functools.partial(jax.jit, static_argnames=("hcfg", "acfg", "lr",
-                                             "weight_norm"))
+                                             "weight_norm", "grad_clip"))
 def gan_gen_step(state: GanTrainState, audio: jnp.ndarray,
                  hcfg: HiFiGANConfig, acfg: AudioConfig, lr: float = 2e-4,
-                 weight_norm: bool = False):
+                 weight_norm: bool = False,
+                 grad_clip: Optional[float] = None):
     """Generator update: LS-GAN + feature matching + 45x mel L1 (the
     standard HiFi-GAN recipe the vendored losses implement)."""
     _check_wn(state, weight_norm)
@@ -235,7 +258,7 @@ def gan_gen_step(state: GanTrainState, audio: jnp.ndarray,
     (loss, (mel_loss, fm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.gen_params
     )
-    g_tx, _ = make_gan_optimizers(lr)
+    g_tx, _ = make_gan_optimizers(lr, grad_clip=grad_clip)
     updates, new_opt = g_tx.update(grads, state.gen_opt, state.gen_params)
     new_gen = optax.apply_updates(state.gen_params, updates)
     new_state = state._replace(gen_params=new_gen, gen_opt=new_opt,

@@ -36,6 +36,9 @@ def main(argv=None):
     ap.add_argument("--segment_size", type=int, default=8192,
                     help="training crop in samples (hifigan/config.py:9)")
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--grad_clip", type=float, default=0.0,
+                    help="> 0: global-norm gradient clipping (stabilizes "
+                         "GAN training on silence-heavy corpora)")
     ap.add_argument("--steps", type=int, default=100000)
     ap.add_argument("--work_dir", type=str, default="runs/vocoder")
     ap.add_argument("--seed", type=int, default=42)
@@ -87,10 +90,11 @@ def main(argv=None):
     print(f"{len(ds)} training utterances; family={args.family} "
           f"discriminators={discs}")
 
+    clip = args.grad_clip or None
     state = create_gan_state(jax.random.PRNGKey(args.seed), hcfg,
                              learning_rate=args.lr,
                              use_weight_norm=args.weight_norm,
-                             discriminators=discs)
+                             discriminators=discs, grad_clip=clip)
     from pathlib import Path
 
     work = Path(args.work_dir)
@@ -149,10 +153,12 @@ def main(argv=None):
                 audio = shard_batch(mesh, audio)
             state, d_loss = gan_disc_step(state, audio, hcfg, acfg,
                                           lr=args.lr,
-                                          weight_norm=args.weight_norm)
+                                          weight_norm=args.weight_norm,
+                                          grad_clip=clip)
             state, metrics = gan_gen_step(state, audio, hcfg, acfg,
                                           lr=args.lr,
-                                          weight_norm=args.weight_norm)
+                                          weight_norm=args.weight_norm,
+                                          grad_clip=clip)
             done = step + 1
             if done % args.log_every == 0 or step == start_step:
                 dt = time.perf_counter() - t0
