@@ -568,7 +568,7 @@ class Synthesizer:
 
     def synthesize_long(self, text: str, silence_ms: float = 100.0,
                         crossfade_ms: float = 0.0, mesh=None,
-                        **kw) -> SynthesisResult:
+                        keep_aux: bool = True, **kw) -> SynthesisResult:
         """Chunked long-form synthesis.
 
         Chunks are joined with short silences (default) or, with
@@ -578,7 +578,15 @@ class Synthesizer:
         otherwise as one *local* batch — sentences of a paragraph are
         independent, so they amortize the MXU batch dim exactly like
         `synthesize_batch` (sequential batch-1 ran ~10x slower per
-        paragraph, benchmarks/longform_bench.py)."""
+        paragraph, benchmarks/longform_bench.py).
+
+        `keep_aux=False` skips materializing the concatenated mel and the
+        alignment in the result (they stay lazy device buffers otherwise
+        fetched per chunk at ~29 ms + 25 ms/MB on a tunneled TPU): at
+        book scale the aux fetches cost more than the synthesis — 439
+        chunks fetched ~26 s of mel/attn and held ~1.5 GB of host RSS
+        for a 30-minute audiobook (benchmarks/longform_bench.py
+        --book-seconds)."""
         chunks = self.split_text(text)
         sr = self.matcha_cfg.audio.sample_rate
         wavs, mels, attns = [], [], []
@@ -592,8 +600,9 @@ class Synthesizer:
                        for i, c in enumerate(chunks)]
         for r in results:
             wavs.append(r.wav)
-            mels.append(r.mel)
-            attns.append(r.attn)
+            if keep_aux:
+                mels.append(r.mel)
+                attns.append(r.attn)
 
         if not wavs:
             wav = np.zeros(0, np.float32)
