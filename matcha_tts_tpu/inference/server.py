@@ -272,7 +272,11 @@ class TTSServer:
                 try:
                     wav = server.batcher.submit(req).result(timeout=300.0)
                 except Exception as e:
-                    self._json(500, {"error": f"synthesis failed: {e}"})
+                    # include the exception TYPE: runtime/plugin errors
+                    # (e.g. XlaRuntimeError) can carry an empty str(e),
+                    # which made failures undiagnosable from the body
+                    self._json(500, {"error": "synthesis failed: "
+                                              f"{type(e).__name__}: {e}"})
                     return
                 body = wav_bytes(wav, sr)
                 self.send_response(200)

@@ -414,7 +414,10 @@ class Synthesizer:
         batch_sizes = list(batch_sizes) if batch_sizes else list(self.batch_buckets)
         for b in batch_sizes:
             reps = [texts[i % len(texts)] for i in range(b)]
-            self.synthesize_batch(reps, n_timesteps=n_timesteps, **kw)
+            rs = self.synthesize_batch(reps, n_timesteps=n_timesteps, **kw)
+            # drain the async execution so serving starts with an empty
+            # device queue (see warmup_grid's drain note)
+            _ = rs[0].pcm16
         return len(batch_sizes)
 
     def warmup_grid(self, batch_sizes: Optional[Sequence[int]] = None,
@@ -465,11 +468,12 @@ class Synthesizer:
             spks = np.full((b,), spk, np.int32) if spk is not None else None
             # warm the encoder-only duration graph for this (b, t_x) too —
             # predict_frame_bucket runs it before every batched call
-            encode_only(self.matcha_params, x, x_lengths, self.matcha_cfg,
-                        length_scale=length_scale, spks=spks)
+            enc = encode_only(self.matcha_params, x, x_lengths,
+                              self.matcha_cfg, length_scale=length_scale,
+                              spks=spks)
             # warm the EXACT serving graph (packed transfer + in-graph
             # denoiser) — the cache key includes the denoise static args
-            _synthesize_packed(
+            packed, _ = _synthesize_packed(
                 self.matcha_params, self.vocoder_params,
                 jax.random.PRNGKey(0), x, x_lengths,
                 self.matcha_cfg, self.hifi_cfg, n_timesteps, t_y,
@@ -479,6 +483,15 @@ class Synthesizer:
                 denoise_strength=self.denoise_strength,
                 noise_ids=jnp.asarray(np.zeros((b,), np.int32)),
             )
+            # DRAIN each warmed execution with a scalar fetch: dispatch is
+            # async, and without this the whole grid's executions queue up
+            # on the device — the first real request then waits behind
+            # MINUTES of warmup backlog (measured round 4: 15 triples ->
+            # 219 s first-request stall, Future timeouts / empty 500s in
+            # the soak).  A scalar fetch is the reliable barrier on the
+            # tunneled backend (block_until_ready alone under-reports).
+            np.asarray(enc[-1])
+            np.asarray(packed[-1])
         return triples
 
     # -- long-form / batched -------------------------------------------------
