@@ -167,7 +167,7 @@ def main(argv=None):
     # the child processes must NOT inherit an ambient cache setting
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
     me = [sys.executable, str(Path(__file__).resolve())]
-    for role in ("export", "cold", "load", "load-cache"):
+    for role in ("export", "load", "cold", "load-cache"):
         print(f"== {role} (fresh process) ==", flush=True)
         subprocess.run(me + ["--role", role], check=True, env=env,
                        cwd=str(REPO))
