@@ -125,6 +125,8 @@ def main():
         "unit": "rtf",
         "vs_baseline": BASELINE_RTF / rtf,
         "mean_median_rtf": float(np.mean(rtfs_median)),
+        # legacy alias (pre-rename consumers; ADVICE r4) — same value
+        "median_rtf": float(np.mean(rtfs_median)),
     }))
 
 

@@ -77,6 +77,11 @@ from benchmarks.tone_corpus import (HELD_OUT_TEXTS, HOP, SR, TRAIN_TEXTS,
                                     render_text)
 
 
+# judge-training rate augmentation (see main()): TRAIN texts rendered at
+# these speaking-rate multiples so the ASR generalizes to held-out rates
+JUDGE_RATE_SCALES = (0.9, 1.0, 1.1)
+
+
 def _n_frames(wav_len: int, a) -> int:
     pad = int((a.n_fft - a.hop_length) / 2)
     return 1 + (wav_len + 2 * pad - a.n_fft) // a.hop_length
@@ -334,6 +339,14 @@ def main(argv=None):
 
     text_bucket, frame_bucket = 128, 512
     assert max_frames(TRAIN_TEXTS + HELD_OUT_TEXTS) <= frame_bucket
+    # Judge training renders TRAIN texts at rate scales up to
+    # JUDGE_RATE_SCALES[-1]; without headroom at the slowest rate, the
+    # longest sentence's audio tail would be silently truncated at
+    # [:wav_bucket] while its CTC labels keep every character —
+    # mislabeled judge rows (ADVICE r4).  max_frames is a rate-1 bound
+    # and segment lengths scale linearly with rate.
+    assert (max_frames(TRAIN_TEXTS) * max(JUDGE_RATE_SCALES)
+            <= frame_bucket), "judge rate augmentation overflows the bucket"
     root = Path(args.data_root)
     make_tone_corpus(root, TRAIN_TEXTS)
     train_fl, val_fl = create_filelists(root, val_fraction=0.1)
@@ -395,7 +408,7 @@ def main(argv=None):
     # rate-scale augmentation (train texts only): each character must be
     # recognizable at speaking rates the judge never saw, since held-out
     # sentences carry their own rates
-    scales = (0.9, 1.0, 1.1)
+    scales = JUDGE_RATE_SCALES
     gt_mel, gt_lens = featurize_texts(TRAIN_TEXTS, a, frame_bucket,
                                       noise_seed=1, rate_scales=scales)
     labels, label_lens = pack_labels(

@@ -415,9 +415,14 @@ class Synthesizer:
         for b in batch_sizes:
             reps = [texts[i % len(texts)] for i in range(b)]
             rs = self.synthesize_batch(reps, n_timesteps=n_timesteps, **kw)
-            # drain the async execution so serving starts with an empty
-            # device queue (see warmup_grid's drain note)
-            _ = rs[0].pcm16
+            # drain the async executions so serving starts with an empty
+            # device queue (see warmup_grid's drain note).  synthesize_batch
+            # can split the reps into several text-bucket groups, each
+            # dispatching its own packed graph — drain EVERY group, not just
+            # rs[0]'s (the shared per-group cache makes this one fetch per
+            # group, not per row).
+            for r in rs:
+                _ = r.y_length
         return len(batch_sizes)
 
     def warmup_grid(self, batch_sizes: Optional[Sequence[int]] = None,

@@ -154,6 +154,22 @@ def random_segment_np(rng: np.random.Generator, audio: np.ndarray,
     return audio[start : start + segment_size]
 
 
+def _check_clip(state: GanTrainState, grad_clip: Optional[float]):
+    """Trace-time guard: `grad_clip` changes the opt-state pytree (the
+    apply_if_finite wrapper), and create_gan_state / the step functions
+    take it independently — a mismatched pair would otherwise surface as
+    an opaque optax tree-structure error deep in `tx.update` (ADVICE r4).
+    Derive the truth from the state's own opt-state structure."""
+    has_clip = isinstance(state.gen_opt, optax.ApplyIfFiniteState)
+    if has_clip != (grad_clip is not None):
+        raise ValueError(
+            f"state was created with "
+            f"{'grad_clip set' if has_clip else 'grad_clip=None'} but the "
+            f"step was called with grad_clip={grad_clip}; pass the same "
+            f"grad_clip to create_gan_state and the step functions (it "
+            f"changes the optimizer-state pytree)")
+
+
 def _check_wn(state: GanTrainState, weight_norm: bool):
     """Trace-time guard: the step's `weight_norm` flag must match how the
     state was created (`create_gan_state(use_weight_norm=...)`)."""
@@ -202,6 +218,7 @@ def gan_disc_step(state: GanTrainState, audio: jnp.ndarray,
                   grad_clip: Optional[float] = None):
     """Discriminator update (LS-GAN): real audio vs generator(mel(real))."""
     _check_wn(state, weight_norm)
+    _check_clip(state, grad_clip)
     hcfg = _xla_generator_cfg(hcfg)
     gen_plain = wn.fold(state.gen_params) if weight_norm else state.gen_params
     mel = _mel(audio, acfg).transpose(0, 2, 1)
@@ -232,6 +249,7 @@ def gan_gen_step(state: GanTrainState, audio: jnp.ndarray,
     """Generator update: LS-GAN + feature matching + 45x mel L1 (the
     standard HiFi-GAN recipe the vendored losses implement)."""
     _check_wn(state, weight_norm)
+    _check_clip(state, grad_clip)
     hcfg = _xla_generator_cfg(hcfg)
     mel_real = _mel(audio, acfg)
     disc_plain = (wn.fold(state.disc_params) if weight_norm

@@ -91,15 +91,36 @@ def main(argv=None):
           f"discriminators={discs}")
 
     clip = args.grad_clip or None
+    from pathlib import Path
+
+    work = Path(args.work_dir)
+    # The opt-state pytree depends on grad_clip (apply_if_finite wrapper)
+    # and on the discriminator set / weight-norm parameterization; restoring
+    # a checkpoint saved under different settings fails with an opaque
+    # Orbax/optax tree-structure error (ADVICE r4).  Record the structure-
+    # defining settings beside the checkpoints and fail loudly on mismatch
+    # BEFORE building the state.
+    import json
+
+    meta_path = work / "gan_meta.json"
+    meta = {"family": args.family, "discriminators": sorted(discs),
+            "weight_norm": bool(args.weight_norm),
+            "grad_clip": clip}
+    if not args.no_resume and meta_path.exists():
+        saved = json.loads(meta_path.read_text())
+        if saved != meta:
+            raise SystemExit(
+                f"--work_dir {work} holds checkpoints trained with "
+                f"{saved}, but this invocation asks for {meta}. Re-run "
+                f"with matching flags to resume, or pass --no_resume / a "
+                f"fresh --work_dir to start over.")
     state = create_gan_state(jax.random.PRNGKey(args.seed), hcfg,
                              learning_rate=args.lr,
                              use_weight_norm=args.weight_norm,
                              discriminators=discs, grad_clip=clip)
-    from pathlib import Path
-
-    work = Path(args.work_dir)
     logger = MetricsLogger(work)
     ckpt = Checkpointer(work / "ckpt", keep=3)
+    meta_path.write_text(json.dumps(meta))
     start_step = 0
     if not args.no_resume:
         restored = ckpt.restore(state)
