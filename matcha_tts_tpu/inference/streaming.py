@@ -91,19 +91,50 @@ def _vocode_window(params, mel_win: jnp.ndarray, cfg,
 class StreamingVocoder:
     """Chunked vocoding (either family) with exact full-pass equivalence.
 
-    Yields wav chunks of `chunk_frames * hop` samples (last chunk partial)
-    from a mel of any length, using ONE compiled graph for all interior
-    chunks (plus one exact-size compile per short-tail utterance shorter
-    than a window).
+    Yields wav chunks from a mel of any length.  Two latency/throughput
+    levers (both exactness-preserving, both measured on the tunneled TPU
+    where every device->host fetch costs ~29 ms regardless of size —
+    round 4's book-scale soak spent 76 of 126 s in 2634 sequential chunk
+    fetches, docs/RESULTS.md):
+
+    * `max_chunk_frames` > `chunk_frames` grows the chunk size
+      geometrically (x2 per chunk) from `chunk_frames` up to
+      `max_chunk_frames`: time-to-first-audio stays one small window,
+      while the steady-state fetch count drops ~chunk_max/chunk_min-fold.
+      Each distinct chunk size uses its own compiled window graph
+      (log2(max/min)+1 graphs, cached persistently).
+    * `pipeline_depth` windows are dispatched ahead of the fetch cursor,
+      so window k+1's device compute (and H2D transfer) overlaps window
+      k's device->host fetch.  Dispatch is async on TPU; depth 0 restores
+      strictly serial dispatch->fetch.
+
+    Fetches transfer the WHOLE window and slice host-side: the interior
+    slice used to be its own eagerly-dispatched device program per chunk
+    (~30 ms on the tunnel — as expensive as the fetch it fed); the extra
+    2*radius frames of wav cost ~0.1 ms/MB-scale transfer instead.
     """
 
     def __init__(self, vocoder_params, cfg: Optional[HiFiGANConfig] = None,
                  chunk_frames: int = 64,
                  context_frames: Optional[int] = None,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32",
+                 max_chunk_frames: Optional[int] = None,
+                 pipeline_depth: int = 2):
         self.params = vocoder_params
         self.cfg = cfg or HiFiGANConfig()
         self.chunk = int(chunk_frames)
+        self.max_chunk = (int(max_chunk_frames) if max_chunk_frames
+                          else self.chunk)
+        if self.max_chunk < self.chunk:
+            raise ValueError(f"max_chunk_frames {self.max_chunk} < "
+                             f"chunk_frames {self.chunk}")
+        # snap to chunk * 2^k so halving a too-large scheduled chunk always
+        # lands on an already-compiled window size
+        k = 0
+        while self.chunk << (k + 1) <= self.max_chunk:
+            k += 1
+        self.max_chunk = self.chunk << k
+        self.pipeline_depth = max(0, int(pipeline_depth))
         self.radius = (int(context_frames) if context_frames is not None
                        else receptive_radius_frames(self.cfg))
         self.window = self.chunk + 2 * self.radius
@@ -113,12 +144,20 @@ class StreamingVocoder:
     def hop(self) -> int:
         return self.cfg.total_upsample
 
+    def _chunk_schedule(self) -> Iterator[int]:
+        c = self.chunk
+        while True:
+            yield c
+            c = min(c * 2, self.max_chunk)
+
     def stream(self, mel: np.ndarray) -> Iterator[np.ndarray]:
         """mel: (T, n_mels) channels-last -> yields float32 wav chunks.
 
-        Chunk i covers mel frames [i*chunk, (i+1)*chunk); concatenating all
-        chunks equals `generator(params, mel[None])[0]` exactly (same conv
-        zero padding at the true sequence edges, full context elsewhere).
+        Concatenating all chunks equals `generator(params, mel[None])[0]`
+        exactly (same conv zero padding at the true sequence edges, full
+        context elsewhere) for ANY chunk schedule / pipeline depth: each
+        window covers [a - r, a + chunk + r) so the kept interior has full
+        receptive-field context regardless of chunk size.
         """
         mel = np.asarray(mel, np.float32)
         if mel.ndim != 2 or mel.shape[1] != self.cfg.num_mels:
@@ -133,21 +172,43 @@ class StreamingVocoder:
             wav = _vocode_window(self.params, jnp.asarray(mel[None]),
                                  self.cfg, self.compute_dtype)[0]
             wav = np.asarray(wav)
-            for a in range(0, t, self.chunk):
-                yield wav[a * hop : min(a + self.chunk, t) * hop]
+            a, sched = 0, self._chunk_schedule()
+            while a < t:
+                c = next(sched)
+                yield wav[a * hop : min(a + c, t) * hop]
+                a += c
             return
-        a = 0
+        # dispatch-ahead pipeline: (device_window, s, e) FIFO
+        pending = []
+
+        def _drain_one():
+            dev, s, e = pending.pop(0)
+            host = np.asarray(dev)[0]
+            return host[s:e]
+
+        a, sched = 0, self._chunk_schedule()
         while a < t:
+            c = next(sched)
+            # a larger scheduled chunk may not fit the utterance: halve
+            # back down the schedule (windows stay within compiled sizes)
+            while c > self.chunk and c + 2 * self.radius > t:
+                c //= 2
+            c = max(c, self.chunk)
+            window = c + 2 * self.radius
             lo = max(0, a - self.radius)
-            if lo + self.window > t:
-                lo = t - self.window
-            win = jnp.asarray(mel[lo : lo + self.window][None])
-            wav_win = _vocode_window(self.params, win, self.cfg,
-                                     self.compute_dtype)[0]
+            if lo + window > t:
+                lo = t - window
+            win = jnp.asarray(mel[lo : lo + window][None])
+            dev = _vocode_window(self.params, win, self.cfg,
+                                 self.compute_dtype)
             s = (a - lo) * hop
-            e = (min(a + self.chunk, t) - lo) * hop
-            yield np.asarray(wav_win[s:e])
-            a += self.chunk
+            e = (min(a + c, t) - lo) * hop
+            pending.append((dev, s, e))
+            a += c
+            if len(pending) > self.pipeline_depth:
+                yield _drain_one()
+        while pending:
+            yield _drain_one()
 
     def vocode(self, mel: np.ndarray) -> np.ndarray:
         """Convenience: stream and concatenate (memory-bounded full pass)."""

@@ -543,29 +543,49 @@ class Synthesizer:
     def stream_samples(self, text: str, chunk_frames: int = 64,
                        n_timesteps: int = 10, temperature: float = 0.667,
                        length_scale: float = 1.0, seed: int = 0,
-                       spk: Optional[int] = None):
-        """Sample-level streaming: yields float32 wav chunks of
-        `chunk_frames * hop` samples (~0.74 s at the default 64) as each
+                       spk: Optional[int] = None,
+                       max_chunk_frames: Optional[int] = 512,
+                       pipeline_depth: int = 2,
+                       lookahead_sentences: int = 1):
+        """Sample-level streaming: yields float32 wav chunks as each
         sentence's mel is vocoded incrementally by `StreamingVocoder`.
 
-        Compared with `stream()` (per-sentence granularity), time-to-first-
-        audio drops to one acoustic pass + one vocoder *window* instead of
-        one full fused pass, and long sentences never materialize their
-        whole waveform on device.  Output is exactly equal to the
-        non-streaming vocoder pass (see inference/streaming.py).
+        Chunks start at `chunk_frames * hop` samples (~0.74 s at the
+        default 64) and grow geometrically to `max_chunk_frames` — time-
+        to-first-audio stays one window while steady-state fetch count
+        drops ~8x (round-4 book soak: 2634 sequential ~29 ms chunk
+        fetches were 76 of the 126 s wall; docs/RESULTS.md).
+        `pipeline_depth` windows are dispatched ahead of the fetch cursor,
+        and with `lookahead_sentences` > 0 the NEXT sentence's acoustic
+        pass (encoder -> duration fetch -> Euler CFM -> mel fetch) runs
+        in a producer thread, overlapping its host round trips with this
+        sentence's vocoder fetches.  All three levers are exactness-
+        preserving: output equals the non-streaming vocoder pass, in
+        order (see inference/streaming.py).
+
+        Compared with `stream()` (per-sentence granularity), time-to-
+        first-audio drops to one acoustic pass + one vocoder *window*
+        instead of one full fused pass, and long sentences never
+        materialize their whole waveform on device.
         """
         from matcha_tts_tpu.inference.streaming import StreamingVocoder
         from matcha_tts_tpu.models.matcha import synthesize as _acoustic
 
         sv = getattr(self, "_stream_vocoder", None)
-        if sv is None or sv.chunk != chunk_frames:
+        max_c = max_chunk_frames or chunk_frames
+        if (sv is None or sv.chunk != chunk_frames
+                or sv.max_chunk != max_c
+                or sv.pipeline_depth != pipeline_depth):
             sv = StreamingVocoder(self.vocoder_params, self.hifi_cfg,
                                   chunk_frames,
-                                  compute_dtype=self.compute_dtype)
+                                  compute_dtype=self.compute_dtype,
+                                  max_chunk_frames=max_c,
+                                  pipeline_depth=pipeline_depth)
             self._stream_vocoder = sv
 
         spks = np.asarray([spk], np.int32) if spk is not None else None
-        for i, sentence in enumerate(self.split_text(text)):
+
+        def acoustic_mel(i: int, sentence: str) -> np.ndarray:
             ids = self.tokenize(sentence)
             t_x = self._bucket(len(ids), self.text_buckets)
             ids = ids[:t_x]
@@ -573,7 +593,8 @@ class Synthesizer:
             x[0, : len(ids)] = ids
             x_lengths = np.asarray([len(ids)], np.int32)
             x, x_lengths = jnp.asarray(x), jnp.asarray(x_lengths)
-            t_y = self.predict_frame_bucket(x, x_lengths, length_scale, spks)
+            t_y = self.predict_frame_bucket(x, x_lengths, length_scale,
+                                            spks)
             out = _acoustic(self.matcha_params, jax.random.PRNGKey(seed + i),
                             x, x_lengths, self.matcha_cfg,
                             n_timesteps=n_timesteps, t_y_max=t_y,
@@ -581,8 +602,45 @@ class Synthesizer:
                             length_scale=length_scale, spks=spks,
                             compute_dtype=self.compute_dtype)
             y_len = int(np.asarray(out.y_lengths)[0])
-            mel = np.asarray(out.mel)[0, :, :y_len].T  # (T_valid, n_mels)
-            yield from sv.stream(mel)
+            return np.asarray(out.mel)[0, :, :y_len].T  # (T_valid, n_mels)
+
+        sentences = self.split_text(text)
+        if lookahead_sentences <= 0 or len(sentences) <= 1:
+            for i, sentence in enumerate(sentences):
+                yield from sv.stream(acoustic_mel(i, sentence))
+            return
+
+        # producer thread runs the acoustic stage `lookahead_sentences`
+        # ahead; its blocking host fetches overlap the consumer's vocoder
+        # window fetches.  Bounded queue keeps device memory bounded;
+        # exceptions are forwarded and re-raised in order.
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=lookahead_sentences)
+        _DONE = object()
+
+        def producer():
+            try:
+                for i, sentence in enumerate(sentences):
+                    q.put(("mel", acoustic_mel(i, sentence)))
+            except BaseException as e:  # noqa: BLE001 — forwarded
+                q.put(("err", e))
+                return
+            q.put((_DONE, None))
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind is _DONE:
+                    break
+                if kind == "err":
+                    raise payload
+                yield from sv.stream(payload)
+        finally:
+            th.join(timeout=0.1)
 
     def synthesize_long(self, text: str, silence_ms: float = 100.0,
                         crossfade_ms: float = 0.0, mesh=None,
