@@ -61,11 +61,20 @@ class _Request:
 
 class DynamicBatcher:
     """Collects requests for up to `batch_window_ms`, groups them by
-    static-parameter key, and synthesizes each group as one batch."""
+    static-parameter key, and synthesizes each group as one batch.
+
+    With a `mesh` (jax.sharding.Mesh), each group is dispatched through
+    `Synthesizer.synthesize_batch_sharded` instead: the batch axis is
+    sharded over the mesh's "data" axis so every chip synthesizes its
+    shard locally (no collectives on the inference path) — pod-scale
+    serving over ICI, the serving-layer completion of SURVEY §2.3's
+    batch-sharded inference strategy (the reference's only parallelism
+    is training DDP, train_standalone.py:863-868)."""
 
     def __init__(self, synth: Synthesizer, max_batch: int = 16,
-                 batch_window_ms: float = 10.0):
+                 batch_window_ms: float = 10.0, mesh=None):
         self.synth = synth
+        self.mesh = mesh
         self.max_batch = int(max_batch)
         self.window_s = float(batch_window_ms) / 1000.0
         self.q: "queue.Queue[Optional[_Request]]" = queue.Queue()
@@ -139,10 +148,16 @@ class DynamicBatcher:
                 t0 = time.monotonic()
                 try:
                     with self.device_lock:
-                        results = self.synth.synthesize_batch(
-                            [r.text for r in reqs], n_timesteps=nfe,
-                            temperature=temp, length_scale=ls, seed=seed,
-                            spk=spk)
+                        if self.mesh is not None:
+                            results = self.synth.synthesize_batch_sharded(
+                                [r.text for r in reqs], self.mesh,
+                                n_timesteps=nfe, temperature=temp,
+                                length_scale=ls, seed=seed, spk=spk)
+                        else:
+                            results = self.synth.synthesize_batch(
+                                [r.text for r in reqs], n_timesteps=nfe,
+                                temperature=temp, length_scale=ls, seed=seed,
+                                spk=spk)
                 except Exception as e:  # propagate to every waiter
                     for r in reqs:
                         r.future.set_exception(e)
@@ -167,9 +182,10 @@ class TTSServer:
 
     def __init__(self, synth: Synthesizer, host: str = "127.0.0.1",
                  port: int = 0, max_batch: int = 16,
-                 batch_window_ms: float = 10.0):
+                 batch_window_ms: float = 10.0, mesh=None):
         self.synth = synth
-        self.batcher = DynamicBatcher(synth, max_batch, batch_window_ms)
+        self.batcher = DynamicBatcher(synth, max_batch, batch_window_ms,
+                                      mesh=mesh)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -249,11 +265,19 @@ class TTSServer:
                     try:
                         from matcha_tts_tpu.utils.wav import pcm16_bytes
 
+                        # lookahead_sentences=0: the sentence-lookahead
+                        # producer thread would dispatch device work
+                        # OUTSIDE the per-chunk device_lock below,
+                        # breaking the server's single-device-thread
+                        # discipline.  Window pipelining + chunk growth
+                        # stay on (their dispatch happens inside next(),
+                        # under the lock).
                         gen = server.synth.stream_samples(
                             req.text, n_timesteps=req.n_timesteps,
                             temperature=req.temperature,
                             length_scale=req.length_scale,
-                            seed=req.seed, spk=req.spk)
+                            seed=req.seed, spk=req.spk,
+                            lookahead_sentences=0)
                         while True:
                             # device dispatch happens inside next(); hold
                             # the batcher's lock per chunk so streams and
@@ -366,6 +390,10 @@ def main(argv=None):
                     help="mel->wav family (vocos: frame-rate iSTFT "
                          "vocoder, ~4.5x the batched serving throughput)")
     ap.add_argument("--denoise-strength", type=float, default=0.00025)
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard each batch over ALL visible devices (1-D "
+                         "'data' mesh): pod-scale serving — each chip "
+                         "synthesizes its shard of the dynamic batch")
     ap.add_argument("--warmup", action="store_true",
                     help="precompile batched graphs before serving")
     ap.add_argument("--warmup-grid", action="store_true",
@@ -409,9 +437,16 @@ def main(argv=None):
             print(f"warmed {n} batch shapes")
     if args.warmup_only:
         return
+    mesh = None
+    if args.data_parallel:
+        from matcha_tts_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh()
+        print(f"serving data-parallel over {mesh.devices.size} devices")
     TTSServer(synth, host=args.host, port=args.port,
               max_batch=args.max_batch,
-              batch_window_ms=args.batch_window_ms).serve_forever()
+              batch_window_ms=args.batch_window_ms,
+              mesh=mesh).serve_forever()
 
 
 if __name__ == "__main__":
