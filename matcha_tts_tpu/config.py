@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -150,12 +150,27 @@ class HiFiGANConfig:
     # now resolve to "auto", which selects the strictly faster packed
     # kernels; set mrf_kernel="tap" explicitly to pin the old behavior.
     mrf_kernel: str = "auto"
+    # mrf_kernel="int8" only: restrict quantization to these upsample-level
+    # indices (None = every level the int8 kernels cover — levels 1 [C=128]
+    # and 2 [C=64 fused-up] at the v1 config; level 3 keeps the exact bf16
+    # kernel by measurement, level 0 [C=256] is XLA in every mode).  A
+    # de-listed level runs the exact packed kernel instead.  This is the
+    # attribution surface for the measured int8 WER gap (VERDICT r4 #5):
+    # sweep {()}, {(1,)}, {(2,)}, None through the quality judge.
+    int8_levels: Optional[Tuple[int, ...]] = None
 
     def __post_init__(self):
         valid = ("xla", "tap", "packed", "int8", "auto")
         if self.mrf_kernel not in valid:
             raise ValueError(
                 f"mrf_kernel={self.mrf_kernel!r} is not one of {valid}")
+        if self.int8_levels is not None:
+            if self.mrf_kernel != "int8":
+                raise ValueError("int8_levels requires mrf_kernel='int8'")
+            bad = [i for i in self.int8_levels
+                   if not 0 <= i < len(self.upsample_rates)]
+            if bad:
+                raise ValueError(f"int8_levels out of range: {bad}")
 
     @property
     def total_upsample(self) -> int:

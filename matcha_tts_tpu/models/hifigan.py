@@ -176,6 +176,15 @@ def init_generator(key, cfg: HiFiGANConfig):
     return params
 
 
+def _gate_int8_level(impl: str, cfg: HiFiGANConfig, level: int) -> str:
+    """int8_levels attribution gate: a de-listed level drops from the
+    quantized to the exact packed kernel (same shapes, same grid)."""
+    if (impl == "int8" and cfg.int8_levels is not None
+            and level not in cfg.int8_levels):
+        return "packed"
+    return impl
+
+
 def generator(params, mel: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
     """mel: (B, T, num_mels) -> audio (B, T * prod(upsample_rates)).
 
@@ -189,7 +198,8 @@ def generator(params, mel: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
                         for j in range(n_kernels)]
         out_ch = cfg.upsample_initial_channel // (2 ** (i + 1))
         t_out = x.shape[1] * u
-        impl = _mrf_fusable(cfg, t_out, out_ch, x.dtype)
+        impl = _gate_int8_level(_mrf_fusable(cfg, t_out, out_ch, x.dtype),
+                                cfg, i)
         if (impl in ("packed", "int8") and u == 2 and k == 4
                 and out_ch * 2 == x.shape[2]):
             # Deepest two V1 levels: fuse LeakyReLU -> ConvTranspose -> MRF
@@ -246,7 +256,8 @@ def generator(params, mel: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
                 continue
         x = _lrelu(x)
         x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
-        impl = _mrf_fusable(cfg, x.shape[1], x.shape[2], x.dtype)
+        impl = _gate_int8_level(
+            _mrf_fusable(cfg, x.shape[1], x.shape[2], x.dtype), cfg, i)
         if impl in ("packed", "int8"):
             from matcha_tts_tpu.ops.pallas.mrf_packed import (
                 mrf_packed, pack_packed_weights, pack_packed_weights_int8)

