@@ -27,6 +27,15 @@ This module fixes both statistical power and duration realism:
 Everything is deterministic from the text alone — no global state, so
 train-time rendering, judge-time rendering, and truth extraction for
 the duration-correlation report always agree.
+
+v3 (round 5) additionally makes the spectra TIME-VARYING the way real
+speech is — sentence-level F0 declination, coarticulatory onset glides
+from the previous character's tones, and col-tone vibrato (see the
+"prosody / coarticulation" constants below) — so the encoder/attention/
+MAS stack cannot reduce a character to a stationary template; chord
+identity (and hence decodability, and the judge's 0.000 floor) is
+preserved by keeping every modulation well inside the chord grid's
+frequency separation.
 """
 
 from __future__ import annotations
@@ -62,6 +71,29 @@ GAP_MS = 40.0      # inter-character silence (rate-scaled)
 RAMP_SEC = 0.005   # attack/release to avoid clicks
 RATE_MIN, RATE_SPAN = 0.85, 0.25
 JITTER_MIN, JITTER_SPAN = 0.90, 0.20
+
+# -- prosody / coarticulation (corpus v3, round 5) ---------------------------
+# Round 4's corpus had variable durations but STATIONARY per-character
+# spectra — the encoder's job was close to a lookup table (VERDICT r4
+# weak #6).  v3 makes every character's spectrum time-varying the way
+# variable speech is, while keeping chord identity (and hence text
+# decodability) intact:
+#   * sentence-level F0 declination: the row tone is scaled by a contour
+#     that falls ~+3 % -> -3 % across the sentence with a per-sentence
+#     phrase wiggle (deterministic from the text) — like pitch
+#     declination over an utterance;
+#   * coarticulatory glides: each character's tones START at the previous
+#     character's frequencies and glide to their own targets over the
+#     first ~18 ms (smoothstep), like formant transitions — adjacent
+#     context now changes a character's onset spectrum;
+#   * vibrato: ~5.5 Hz, +-0.4 % on the col tone, so even the steady
+#     portion is not a fixed DFT line.
+# Magnitudes are chosen well inside the chord grid's separability: rows
+# are >= 25 % apart and cols x1.25 apart, vs <= +-3.5 % of modulation.
+DECLINATION = 0.03      # +3 % start -> -3 % end on the row tone
+PHRASE_WIGGLE = 0.012   # extra slow sinusoidal phrase curve on the row
+GLIDE_SEC = 0.018       # onset glide from the previous char's tones
+VIBRATO_HZ, VIBRATO_DEPTH = 5.5, 0.004  # col-tone vibrato
 
 
 def char_tones(ch: str):
@@ -125,25 +157,70 @@ def char_frames(text: str) -> np.ndarray:
     return np.asarray(frames, np.float64)
 
 
+def _row_contour(text: str, pos_frac: np.ndarray) -> np.ndarray:
+    """Sentence-level F0 declination on the row tone: +DECLINATION at the
+    sentence start falling to -DECLINATION at the end, plus a slow
+    per-sentence phrase wiggle.  `pos_frac` is the 0..1 position of each
+    sample within the sentence; everything is deterministic from the
+    text (phase seeded by crc32)."""
+    h = zlib.crc32(text.encode("utf-8"))
+    phase = 2 * np.pi * ((h >> 4) % 997) / 997.0
+    cycles = 1.0 + ((h >> 14) % 3) * 0.5  # 1, 1.5 or 2 phrase cycles
+    return (1.0 + DECLINATION * (1.0 - 2.0 * pos_frac)
+            + PHRASE_WIGGLE * np.sin(2 * np.pi * cycles * pos_frac + phase))
+
+
 def render_text(text: str, noise_rng=None,
                 rate_scale: float = 1.0) -> np.ndarray:
     """Text -> float32 waveform in which each character is audible, with
-    per-character variable durations (see module docstring)."""
+    per-character variable durations AND time-varying spectra (v3: F0
+    declination + coarticulatory onset glides + vibrato; see module
+    docstring).  Frequency trajectories are integrated into phase
+    (2*pi*cumsum(f)/SR) so glides are true chirps, not phase jumps."""
     n_ramp = int(SR * RAMP_SEC)
+    segs = char_segments(text.lower(), rate_scale)
+    total = sum(nt + ng for _, nt, ng in segs) - segs[-1][2]
     pieces = []
-    segs = char_segments(text, rate_scale)
+    pos = 0          # running sample position (for the sentence contour)
+    prev_tones = None
     for ch, n_tone, n_gap in segs:
         tones = char_tones(ch)
         if tones is None:
             pieces.append(np.zeros(n_tone, np.float64))
+            prev_tones = None
         else:
             t = np.arange(n_tone) / SR
+            pos_frac = (pos + np.arange(n_tone)) / max(total - 1, 1)
             env = np.ones(n_tone, np.float64)
             env[:n_ramp] = np.linspace(0.0, 1.0, n_ramp)
             env[-n_ramp:] = np.linspace(1.0, 0.0, n_ramp)
-            chord = 0.18 * sum(np.sin(2 * np.pi * f * t) for f in tones)
-            pieces.append(env * chord)
+            # onset glide source: previous char's tones (index-matched;
+            # a missing source tone means no glide for that component)
+            n_glide = min(int(SR * GLIDE_SEC), max(n_tone // 3, 1))
+            blend = np.ones(n_tone, np.float64)
+            blend[:n_glide] = np.linspace(0.0, 1.0, n_glide)
+            blend[:n_glide] = blend[:n_glide] ** 2 * (
+                3.0 - 2.0 * blend[:n_glide])  # smoothstep
+            chord = np.zeros(n_tone, np.float64)
+            for j, f in enumerate(tones):
+                f_target = np.full(n_tone, f, np.float64)
+                if j == 0:
+                    f_target *= _row_contour(text, pos_frac)
+                else:
+                    f_target *= 1.0 + VIBRATO_DEPTH * np.sin(
+                        2 * np.pi * VIBRATO_HZ * t)
+                f_src = (prev_tones[j] if prev_tones is not None
+                         and j < len(prev_tones) else None)
+                if f_src is not None:
+                    f_traj = f_src + (f_target - f_src) * blend
+                else:
+                    f_traj = f_target
+                phase = 2 * np.pi * np.cumsum(f_traj) / SR
+                chord += np.sin(phase)
+            pieces.append(env * 0.18 * chord)
+            prev_tones = tones
         pieces.append(np.zeros(n_gap, np.float64))
+        pos += n_tone + n_gap
     wav = np.concatenate(pieces[:-1])  # no trailing gap
     if noise_rng is not None:
         wav = wav + 0.002 * noise_rng.standard_normal(len(wav))

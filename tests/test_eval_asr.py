@@ -113,3 +113,68 @@ def test_tone_corpus_wer_loop_generalizes_to_held_out():
     out = evaluate_wer(held_out, wavs, SR,
                        make_asr_callable(params, cfg, a, frame_bucket))
     assert out["mean_wer"] <= 0.25, out
+
+
+def test_tone_corpus_v3_prosody_properties():
+    """Corpus v3 (round 5): spectra must be time-varying like speech —
+    onset glides from the previous character, row-tone declination across
+    the sentence — while every character's steady portion stays decodable
+    at its (row, col) chord (the judge-floor precondition)."""
+    from benchmarks.tone_corpus import (DECLINATION, char_segments,
+                                        char_tones)
+
+    def peak_freq(seg, lo=100.0, hi=9000.0):
+        f = np.fft.rfftfreq(len(seg), 1 / SR)
+        mag = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        band = (f >= lo) & (f <= hi)
+        return f[band][int(np.argmax(mag[band]))]
+
+    text = "pack my box with five dozen liquor jugs"
+    wav = render_text(text)
+    segs = char_segments(text)
+
+    # (a) decodability: each char's steady portion has dominant energy at
+    # both chord targets (within the declination/vibrato budget)
+    pos = 0
+    row_first, row_last = None, None
+    for idx, (ch, nt, ng) in enumerate(segs):
+        tones = char_tones(ch)
+        if tones and len(tones) == 2:
+            steady = wav[pos + int(nt * 0.4) : pos + nt]
+            for tgt in tones:
+                f = np.fft.rfftfreq(len(steady), 1 / SR)
+                mag = np.abs(np.fft.rfft(steady * np.hanning(len(steady))))
+                sel = (f >= tgt * 0.93) & (f <= tgt * 1.07)
+                out = (f < tgt * 0.85) | (f > tgt * 1.15)
+                assert mag[sel].max() > 0.5 * mag[out].max(), (ch, tgt)
+            # (b) row declination: measure the row tone precisely around
+            # its target at sentence start vs end
+            rf = peak_freq(steady, tones[0] * 0.9, tones[0] * 1.1)
+            ratio = rf / tones[0]
+            if row_first is None:
+                row_first = ratio
+            row_last = ratio
+        pos += nt + ng
+    assert row_first is not None and row_last is not None
+    # declination: early chars render sharp (+), late chars flat (-)
+    assert row_first - row_last > DECLINATION * 0.8, (row_first, row_last)
+
+    # (c) coarticulation: the onset of a char following a DIFFERENT chord
+    # starts near the previous char's frequencies, not its own
+    prev_tones, pos = None, 0
+    checked = 0
+    for ch, nt, ng in segs:
+        tones = char_tones(ch)
+        if (tones and len(tones) == 2 and prev_tones is not None
+                and len(prev_tones) == 2
+                and abs(prev_tones[1] - tones[1]) > 800.0):
+            onset = wav[pos : pos + int(SR * 0.006)]  # first 6 ms of glide
+            f_on = peak_freq(onset, 2000.0, 9000.0)  # col-tone region
+            # onset col peak is closer to the previous char's col tone
+            assert (abs(f_on - prev_tones[1])
+                    < abs(f_on - tones[1])), (ch, f_on, prev_tones, tones)
+            checked += 1
+        if tones:
+            prev_tones = tones
+        pos += nt + ng
+    assert checked >= 2  # the pangram has several large col jumps
