@@ -85,7 +85,18 @@ JITTER_MIN, JITTER_SPAN = 0.90, 0.20
 #   * coarticulatory glides: each character's tones START at the previous
 #     character's frequencies and glide to their own targets over the
 #     first ~18 ms (smoothstep), like formant transitions — adjacent
-#     context now changes a character's onset spectrum;
+#     context now changes a character's onset spectrum.  Two guards keep
+#     the sweep from decoding as a spurious character (v3.1: the first
+#     v3 run measured a 0.95 % ground-truth judge floor from exactly
+#     this — "june" -> "junhe", where (800, 4700) is the n->e glide's
+#     midpoint chord): (1) pauses break coarticulation — a space is
+#     rendered at its own tone and resets the glide source, as real
+#     coarticulation does not cross a silent pause (a post-space glide
+#     swept the row tone from 250 Hz through EVERY row band); (2) the
+#     amplitude attack envelope follows the glide (smoothstep from 0),
+#     so mid-sweep frames — the ones whose instantaneous chord is some
+#     OTHER character's — are also the quietest, like the reduced
+#     energy of real consonant transitions;
 #   * vibrato: ~5.5 Hz, +-0.4 % on the col tone, so even the steady
 #     portion is not a fixed DFT line.
 # Magnitudes are chosen well inside the chord grid's separability: rows
@@ -93,7 +104,20 @@ JITTER_MIN, JITTER_SPAN = 0.90, 0.20
 DECLINATION = 0.03      # +3 % start -> -3 % end on the row tone
 PHRASE_WIGGLE = 0.012   # extra slow sinusoidal phrase curve on the row
 GLIDE_SEC = 0.018       # onset glide from the previous char's tones
-VIBRATO_HZ, VIBRATO_DEPTH = 5.5, 0.004  # col-tone vibrato
+# Shortening the glide does NOT help the judge floor (measured: 8 ms
+# was WORSE than 18 ms, 1.5 % vs 0.7 %): a faster chirp has wider
+# instantaneous bandwidth inside the 46 ms (n_fft 1024) analysis
+# window, smearing onset energy across foreign chord bands.  The floor
+# is recovered on the judge side instead — jitter-seed augmentation
+# (see wer_e2e.JUDGE_AUG) diversifies the transition contexts so the
+# CTC judge learns glide spectra are not characters.
+VIBRATO_HZ, VIBRATO_DEPTH = 5.5, 0.002  # col-tone vibrato
+# depth 0.2 % (v3.1, was 0.4 %): the judge-floor ablation localized the
+# 0.7 % ground-truth floor to the GLIDE x VIBRATO interaction — with
+# either feature alone the floor is 0.0000, together at 0.4 % the
+# vibrato smear widens the judge's col-tone acceptance enough that
+# glide sweeps fire spurious emissions ("june" -> "junhe").  0.2 %
+# keeps the steady portion time-varying and restores the 0.0000 floor.
 
 
 def char_tones(ch: str):
@@ -120,25 +144,31 @@ def sentence_rate(text: str) -> float:
     return RATE_MIN + RATE_SPAN * ((h >> 8) % 4096) / 4095.0
 
 
-def _jitters(text: str) -> np.ndarray:
-    """Per-position duration jitter in [0.9, 1.1], seeded by the text."""
-    rng = np.random.default_rng(zlib.crc32(text.encode("utf-8")))
+def _jitters(text: str, jitter_seed: int = 0) -> np.ndarray:
+    """Per-position duration jitter in [0.9, 1.1], seeded by the text.
+
+    `jitter_seed` != 0 re-draws the per-position pattern — ONLY for
+    judge-training augmentation; the corpus itself always uses 0 so
+    rendering stays deterministic from the text alone."""
+    rng = np.random.default_rng(
+        zlib.crc32(text.encode("utf-8")) + jitter_seed)
     return JITTER_MIN + JITTER_SPAN * rng.random(len(text))
 
 
-def char_segments(text: str,
-                  rate_scale: float = 1.0) -> List[Tuple[str, int, int]]:
+def char_segments(text: str, rate_scale: float = 1.0,
+                  jitter_seed: int = 0) -> List[Tuple[str, int, int]]:
     """Per character: (ch, n_tone_samples, n_gap_samples) — the exact
     segment lengths `render_text` uses, exposed so truth extraction for
     duration evaluation can never drift from the renderer.
 
-    `rate_scale` multiplies the sentence rate — ONLY for judge-training
-    augmentation (the ASR must recognize characters at rates it never
-    saw); the corpus the acoustic model trains on always uses 1.0 so
+    `rate_scale` multiplies the sentence rate and `jitter_seed` re-draws
+    the per-position jitter — BOTH only for judge-training augmentation
+    (the ASR must recognize characters at rates/contexts it never saw);
+    the corpus the acoustic model trains on always uses (1.0, 0) so
     rendering stays deterministic from the text alone."""
     text = text.lower()
     rate = sentence_rate(text) * rate_scale
-    jit = _jitters(text)
+    jit = _jitters(text, jitter_seed)
     n_gap = int(SR * (GAP_MS / 1000.0) * rate)
     out = []
     for i, ch in enumerate(text):
@@ -170,15 +200,15 @@ def _row_contour(text: str, pos_frac: np.ndarray) -> np.ndarray:
             + PHRASE_WIGGLE * np.sin(2 * np.pi * cycles * pos_frac + phase))
 
 
-def render_text(text: str, noise_rng=None,
-                rate_scale: float = 1.0) -> np.ndarray:
+def render_text(text: str, noise_rng=None, rate_scale: float = 1.0,
+                jitter_seed: int = 0) -> np.ndarray:
     """Text -> float32 waveform in which each character is audible, with
     per-character variable durations AND time-varying spectra (v3: F0
     declination + coarticulatory onset glides + vibrato; see module
     docstring).  Frequency trajectories are integrated into phase
     (2*pi*cumsum(f)/SR) so glides are true chirps, not phase jumps."""
     n_ramp = int(SR * RAMP_SEC)
-    segs = char_segments(text.lower(), rate_scale)
+    segs = char_segments(text.lower(), rate_scale, jitter_seed)
     total = sum(nt + ng for _, nt, ng in segs) - segs[-1][2]
     pieces = []
     pos = 0          # running sample position (for the sentence contour)
@@ -194,8 +224,13 @@ def render_text(text: str, noise_rng=None,
             env = np.ones(n_tone, np.float64)
             env[:n_ramp] = np.linspace(0.0, 1.0, n_ramp)
             env[-n_ramp:] = np.linspace(1.0, 0.0, n_ramp)
-            # onset glide source: previous char's tones (index-matched;
-            # a missing source tone means no glide for that component)
+            # onset glide source: previous LETTER's tones (index-matched).
+            # Glides only occur letter->letter: a pause (space) resets the
+            # source, and the space's own lone tone never glides — real
+            # coarticulation does not cross a silent pause, and a glide
+            # from/to the 250 Hz space tone would sweep through every row
+            # band (v3.1; see module docstring).
+            glide_src = prev_tones if len(tones) == 2 else None
             n_glide = min(int(SR * GLIDE_SEC), max(n_tone // 3, 1))
             blend = np.ones(n_tone, np.float64)
             blend[:n_glide] = np.linspace(0.0, 1.0, n_glide)
@@ -209,16 +244,21 @@ def render_text(text: str, noise_rng=None,
                 else:
                     f_target *= 1.0 + VIBRATO_DEPTH * np.sin(
                         2 * np.pi * VIBRATO_HZ * t)
-                f_src = (prev_tones[j] if prev_tones is not None
-                         and j < len(prev_tones) else None)
+                f_src = (glide_src[j] if glide_src is not None
+                         and j < len(glide_src) else None)
                 if f_src is not None:
                     f_traj = f_src + (f_target - f_src) * blend
                 else:
                     f_traj = f_target
                 phase = 2 * np.pi * np.cumsum(f_traj) / SR
                 chord += np.sin(phase)
+            if glide_src is not None:
+                # the attack follows the glide: mid-sweep samples (whose
+                # instantaneous chord may match a DIFFERENT character)
+                # are the quietest — transition energy dip (v3.1)
+                env[:n_glide] = np.minimum(env[:n_glide], blend[:n_glide])
             pieces.append(env * 0.18 * chord)
-            prev_tones = tones
+            prev_tones = tones if len(tones) == 2 else None
         pieces.append(np.zeros(n_gap, np.float64))
         pos += n_tone + n_gap
     wav = np.concatenate(pieces[:-1])  # no trailing gap
@@ -293,8 +333,30 @@ _ANCHORS = [
     "how quickly daft jumping zebras vex us",
 ]
 
-TRAIN_TEXTS: List[str] = _ANCHORS + _build_texts(60, seed=101,
-                                                 exclude=_ANCHORS)
+# word-coverage anchors (v3.1): the module docstring promises "chars and
+# most words are seen in training — like LJSpeech val", but the sampled
+# 60 sentences left 8 word-bank words unseen in TRAIN ("june", "sea",
+# "all", "day", "bay", "by", "night", "harbor") — and EVERY measured
+# judge-floor failure was on exactly those words (their v3 glide
+# contexts were novel at judge-training time: "june" -> "junhe"/"jne",
+# "sea" -> "ssea", "all day" -> "ll day").  These anchors close the gap;
+# `vocab_coverage_gaps` below keeps it closed.
+_WORD_ANCHORS = [
+    "the harbor keeps us all day and all night",
+    "we sail by the bay in june",
+    "a bold voyage starts in june by the sea",
+]
+
+TRAIN_TEXTS: List[str] = _ANCHORS + _WORD_ANCHORS + _build_texts(
+    60, seed=101, exclude=_ANCHORS + _WORD_ANCHORS)
+
+
+def vocab_coverage_gaps() -> List[str]:
+    """Word-bank words that never occur in TRAIN_TEXTS (must be [])."""
+    blob = " " + " ".join(TRAIN_TEXTS) + " "
+    vocab = set(_ADJ + _NOUN) | {
+        w for v in _VERB + _TAIL for w in v.split()}
+    return sorted(w for w in vocab if f" {w} " not in blob)
 HELD_OUT_TEXTS: List[str] = _build_texts(40, seed=202, exclude=TRAIN_TEXTS)
 
 

@@ -77,9 +77,18 @@ from benchmarks.tone_corpus import (HELD_OUT_TEXTS, HOP, SR, TRAIN_TEXTS,
                                     render_text)
 
 
-# judge-training rate augmentation (see main()): TRAIN texts rendered at
-# these speaking-rate multiples so the ASR generalizes to held-out rates
-JUDGE_RATE_SCALES = (0.9, 1.0, 1.1)
+# judge-training augmentation (see main()): TRAIN texts rendered at
+# these (speaking-rate multiple, jitter re-seed) variants so the ASR
+# generalizes to held-out rates AND to unseen transition contexts — the
+# v3 coarticulatory glides put transition spectra between characters,
+# and a judge trained on a single jitter realization per text memorizes
+# the exact window alignments instead of learning "glides are not
+# characters" (measured: 3 rate scales alone left a 0.7 % floor;
+# jitter re-seeds restore 0.000)
+JUDGE_AUG = ((0.9, 0), (1.0, 0), (1.1, 0),
+             (0.95, 1), (1.05, 2), (1.0, 3),
+             (0.9, 4), (1.1, 5), (1.0, 6))
+JUDGE_RATE_SCALES = tuple(r for r, _ in JUDGE_AUG)  # back-compat
 
 
 def _n_frames(wav_len: int, a) -> int:
@@ -96,25 +105,31 @@ def _gt_logmel(audio, sample_rate, n_fft, n_mels, hop, win, f_min, f_max):
 
 
 def featurize_texts(texts, a, frame_bucket: int, noise_seed=None,
-                    rate_scales=(1.0,)):
+                    rate_scales=(1.0,), aug=None):
     """Render + log-mel a list of texts -> (B, frame_bucket, n_mels) fp32
     padded with the mel floor, plus true frame lengths.
 
-    `rate_scales` with more than one entry is judge-training
-    augmentation: each text rendered at several speaking-rate multiples
-    (rows ordered text-major: all scales of text 0, then text 1, ...) so
-    the ASR generalizes to held-out sentences' unseen rates."""
+    `aug` (a sequence of (rate_scale, jitter_seed) pairs; defaults to
+    `[(r, 0) for r in rate_scales]`) with more than one entry is
+    judge-training augmentation: each text rendered at several
+    speaking-rate multiples and jitter re-seeds (rows ordered
+    text-major: all variants of text 0, then text 1, ...) so the ASR
+    generalizes to held-out sentences' unseen rates and transition
+    contexts."""
+    if aug is None:
+        aug = tuple((rs, 0) for rs in rate_scales)
     rng = (np.random.default_rng(noise_seed)
            if noise_seed is not None else None)
     wav_bucket = (frame_bucket - 1) * a.hop_length + a.n_fft - 2 * int(
         (a.n_fft - a.hop_length) / 2)
-    n = len(texts) * len(rate_scales)
+    n = len(texts) * len(aug)
     audio = np.zeros((n, wav_bucket), np.float32)
     lens = np.zeros((n,), np.int32)
     i = 0
     for text in texts:
-        for rs in rate_scales:
-            w = render_text(text, rng, rate_scale=rs)[:wav_bucket]
+        for rs, js in aug:
+            w = render_text(text, rng, rate_scale=rs,
+                            jitter_seed=js)[:wav_bucket]
             audio[i, : len(w)] = w
             lens[i] = min(_n_frames(len(w), a), frame_bucket)
             i += 1
@@ -339,14 +354,21 @@ def main(argv=None):
 
     text_bucket, frame_bucket = 128, 512
     assert max_frames(TRAIN_TEXTS + HELD_OUT_TEXTS) <= frame_bucket
-    # Judge training renders TRAIN texts at rate scales up to
-    # JUDGE_RATE_SCALES[-1]; without headroom at the slowest rate, the
+    # Judge training renders TRAIN texts at several (rate, jitter-seed)
+    # variants; without headroom at the slowest/longest variant, the
     # longest sentence's audio tail would be silently truncated at
     # [:wav_bucket] while its CTC labels keep every character —
-    # mislabeled judge rows (ADVICE r4).  max_frames is a rate-1 bound
-    # and segment lengths scale linearly with rate.
-    assert (max_frames(TRAIN_TEXTS) * max(JUDGE_RATE_SCALES)
-            <= frame_bucket), "judge rate augmentation overflows the bucket"
+    # mislabeled judge rows (ADVICE r4).  Checked EXACTLY over the
+    # actual augmentation pairs via the renderer's own segment lengths.
+    from benchmarks.tone_corpus import char_segments
+    for _t in TRAIN_TEXTS:
+        for _rs, _js in JUDGE_AUG:
+            _segs = char_segments(_t, _rs, _js)
+            _fr = (sum(nt + ng for _, nt, ng in _segs)
+                   - _segs[-1][2]) / HOP + 4
+            assert _fr <= frame_bucket, (
+                f"judge augmentation overflows the bucket: {_t!r} at "
+                f"rate {_rs} jitter {_js} needs ~{_fr:.0f} frames")
     root = Path(args.data_root)
     make_tone_corpus(root, TRAIN_TEXTS)
     train_fl, val_fl = create_filelists(root, val_fraction=0.1)
@@ -405,20 +427,27 @@ def main(argv=None):
     #    ~4 % (VERDICT r3 weak #3); at stride 1 the >=2.9-frame gaps
     #    always yield a blank between repeats.
     print("== training the CTC ASR judge on ground-truth mels ==")
-    # rate-scale augmentation (train texts only): each character must be
-    # recognizable at speaking rates the judge never saw, since held-out
-    # sentences carry their own rates
-    scales = JUDGE_RATE_SCALES
+    # rate + jitter augmentation (train texts only): each character must
+    # be recognizable at speaking rates and transition contexts the
+    # judge never saw, since held-out sentences carry their own rates
+    # and glide alignments
     gt_mel, gt_lens = featurize_texts(TRAIN_TEXTS, a, frame_bucket,
-                                      noise_seed=1, rate_scales=scales)
+                                      noise_seed=1, aug=JUDGE_AUG)
     labels, label_lens = pack_labels(
-        [t for t in TRAIN_TEXTS for _ in scales])
+        [t for t in TRAIN_TEXTS for _ in JUDGE_AUG])
     t0 = time.time()
     asr_cfg = CTCASRConfig(n_mels=a.n_mels, stride=1)
-    asr_params = train_ctc_asr(jax.random.PRNGKey(11), gt_mel, gt_lens,
-                               labels, label_lens, asr_cfg,
-                               steps=args.asr_steps, lr=1e-3, log_every=100)
-    print(f"asr trained in {time.time() - t0:.0f}s")
+    # 3-member ensemble (mean log-softmax at decode): spurious glide-
+    # frame emissions are seed-dependent — single members left a 0.4-0.7%
+    # floor with the residual errors MOVING between seeds; the ensemble
+    # suppresses them (measured 0.000)
+    asr_params = [
+        train_ctc_asr(jax.random.PRNGKey(11 + i), gt_mel, gt_lens,
+                      labels, label_lens, asr_cfg,
+                      steps=args.asr_steps, lr=1e-3,
+                      log_every=(200 if i == 0 else 0))
+        for i in range(3)]
+    print(f"asr ensemble (3 members) trained in {time.time() - t0:.0f}s")
     Path(args.work_dir).mkdir(parents=True, exist_ok=True)
     judge_path = Path(args.work_dir) / "ctc_judge.npz"
     save_ctc_asr(judge_path, asr_params, asr_cfg)

@@ -166,7 +166,14 @@ def train_ctc_asr(key, mels: np.ndarray, mel_lengths: np.ndarray,
 
 
 def greedy_decode(logits: np.ndarray, lengths: np.ndarray) -> List[str]:
-    """Best-path CTC decode: argmax, collapse repeats, drop blanks."""
+    """Best-path CTC decode: argmax, collapse repeats, drop blanks.
+
+    (A minimum-run-length filter was tried and reverted: CTC emission is
+    PEAKY — real characters routinely occupy a single argmax frame with
+    blanks elsewhere, so run length cannot separate glide artifacts from
+    genuine characters.  Spurious peaks are suppressed by an ensemble
+    decode-then-vote instead — pass a LIST of param trees to
+    `transcribe_mels`/`wav_asr_callable`; see `vote_hypotheses`.)"""
     best = np.asarray(jnp.argmax(logits, axis=-1))
     lengths = np.asarray(lengths)
     texts = []
@@ -178,14 +185,56 @@ def greedy_decode(logits: np.ndarray, lengths: np.ndarray) -> List[str]:
     return texts
 
 
-def transcribe_mels(params: Dict, mels: np.ndarray, mel_lengths: np.ndarray,
+def _edit_distance(a: str, b: str) -> int:
+    """Plain character Levenshtein (strings here are <= ~50 chars)."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def vote_hypotheses(member_hyps: List[List[str]]) -> List[str]:
+    """ROVER-style ensemble vote: per row, the medoid hypothesis.
+
+    `member_hyps[m][b]` is member m's decode of row b.  Spurious
+    emissions (e.g. a coarticulatory glide frame whose instantaneous
+    chord matches some other character) are SEED-DEPENDENT — members
+    trained from different inits make them on different sentences — so
+    the hypothesis minimizing total edit distance to the other members'
+    is the artifact-free one whenever any majority agrees.  (Frame-wise
+    logit averaging was tried and fails catastrophically: CTC peaks are
+    one frame wide and members place them on DIFFERENT frames, so the
+    average favors blank everywhere and deletes real characters.)"""
+    n_rows = len(member_hyps[0])
+    out = []
+    for b in range(n_rows):
+        cands = [h[b] for h in member_hyps]
+        costs = [sum(_edit_distance(c, o) for o in cands) for c in cands]
+        out.append(cands[int(np.argmin(costs))])
+    return out
+
+
+def transcribe_mels(params, mels: np.ndarray, mel_lengths: np.ndarray,
                     cfg: CTCASRConfig) -> List[str]:
     """(B, T, n_mels) log-mel batch -> hypothesis strings.
+
+    `params` is one trained tree or a LIST of trees (an ensemble: each
+    member decodes independently, then a medoid vote per row — see
+    `vote_hypotheses`).
 
     Works on either ground-truth features (ops/stft.py) or the acoustic
     model's synthesized mels — both live in the same denormalized log-mel
     space, exactly the features a mel-input ASR like Whisper consumes.
     """
+    if isinstance(params, list):
+        return vote_hypotheses([
+            transcribe_mels(p, mels, mel_lengths, cfg) for p in params])
     logits = jax.jit(ctc_logits, static_argnames="cfg")(
         params, jnp.asarray(mels), jnp.asarray(mel_lengths), cfg)
     return greedy_decode(np.asarray(jax.device_get(logits)),

@@ -29,6 +29,27 @@ from benchmarks.wer_e2e import (SR, char_tones, featurize_texts,
                                 make_asr_callable, pack_labels, render_text)
 
 
+def test_train_split_covers_vocabulary():
+    """Every word-bank word must occur in TRAIN (v3.1): the judge floor
+    failures were all on held-out words whose glide contexts were never
+    seen at judge-training time ("june" -> "junhe"), and the module
+    docstring promises LJSpeech-val-like word coverage."""
+    from benchmarks.tone_corpus import vocab_coverage_gaps
+
+    assert vocab_coverage_gaps() == []
+
+
+def test_ensemble_vote_prefers_majority():
+    """The medoid vote must return the hypothesis shared by a majority
+    and suppress a single member's seed-dependent artifact."""
+    from matcha_tts_tpu.eval.ctc_asr import vote_hypotheses
+
+    hyps = [["the fox", "a dog"],      # member 0 (clean)
+            ["the fox", "a ddog"],     # member 1 (artifact on row 1)
+            ["the ffox", "a dog"]]     # member 2 (artifact on row 0)
+    assert vote_hypotheses(hyps) == ["the fox", "a dog"]
+
+
 def test_char_codec_round_trip():
     text = "the quick brown fox jumps over the lazy dog"
     assert decode_chars(encode_chars(text)) == text
@@ -168,7 +189,10 @@ def test_tone_corpus_v3_prosody_properties():
         if (tones and len(tones) == 2 and prev_tones is not None
                 and len(prev_tones) == 2
                 and abs(prev_tones[1] - tones[1]) > 800.0):
-            onset = wav[pos : pos + int(SR * 0.006)]  # first 6 ms of glide
+            # first ~37 % of the glide: blend <= smoothstep(0.375) ~ 0.32,
+            # so frequencies are still near the previous char's
+            from benchmarks.tone_corpus import GLIDE_SEC
+            onset = wav[pos : pos + int(SR * GLIDE_SEC * 0.375)]
             f_on = peak_freq(onset, 2000.0, 9000.0)  # col-tone region
             # onset col peak is closer to the previous char's col tone
             assert (abs(f_on - prev_tones[1])
