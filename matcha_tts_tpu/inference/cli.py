@@ -148,7 +148,12 @@ def main(argv=None):
     if args.mrf_kernel is not None:
         import dataclasses
 
-        hcfg = dataclasses.replace(hcfg, mrf_kernel=args.mrf_kernel)
+        # int8_levels is only valid with mrf_kernel="int8"; clear it when
+        # the CLI switches a (possibly int8-gated) config to another kernel
+        hcfg = dataclasses.replace(
+            hcfg, mrf_kernel=args.mrf_kernel,
+            int8_levels=(hcfg.int8_levels
+                         if args.mrf_kernel == "int8" else None))
 
     syn = Synthesizer(matcha_params, cfg, vocoder_params, hcfg)
 

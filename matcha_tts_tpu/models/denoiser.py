@@ -46,7 +46,10 @@ def make_denoiser(vocoder_params, cfg: HiFiGANConfig, filter_length: int = 1024,
     # bf16/Pallas) serving path — the gap is far below the subtraction
     # strengths in use (2.5e-4 .. 5e-4).
     if isinstance(cfg, HiFiGANConfig):
-        cfg = dataclasses.replace(cfg, mrf_kernel="xla", use_pallas=False)
+        # int8_levels only makes sense with mrf_kernel="int8" (the config
+        # validator enforces it) — clear it along with the kernel switch.
+        cfg = dataclasses.replace(cfg, mrf_kernel="xla", use_pallas=False,
+                                  int8_levels=None)
     hop = int(filter_length / n_overlap)
 
     # One jitted probe graph instead of eager op-by-op: eager dispatch costs

@@ -318,8 +318,10 @@ def quantization_report(params, mels: jnp.ndarray, cfg: HiFiGANConfig,
 
     from matcha_tts_tpu.ops.stft import log_mel_spectrogram
 
-    exact_cfg = dataclasses.replace(cfg, mrf_kernel=exact_kernel)
-    int8_cfg = dataclasses.replace(cfg, mrf_kernel="int8")
+    exact_cfg = dataclasses.replace(cfg, mrf_kernel=exact_kernel,
+                                    int8_levels=None)
+    int8_cfg = dataclasses.replace(cfg, mrf_kernel="int8",
+                                   int8_levels=cfg.int8_levels)
     ref = np.asarray(generator(params, mels, exact_cfg), np.float64)
     got = np.asarray(generator(params, mels, int8_cfg), np.float64)
     err = got - ref

@@ -263,6 +263,13 @@ def distill_fit(teacher_params, cfg: MatchaConfig, dcfg: DistillConfig,
         from matcha_tts_tpu.parallel import mesh as pmesh
         state = pmesh.replicate(mesh, state)
         teacher_params = pmesh.replicate(mesh, teacher_params)
+    else:
+        # Commit the frozen teacher to the device ONCE.  A host (numpy)
+        # tree here is re-transferred on EVERY distill_step call — jit
+        # does not cache host->device copies across calls — which both
+        # wastes H2D bandwidth and, on the tunneled TPU plugin, staged
+        # ~72 MB/step host-side until a full-size run was OOM-killed.
+        teacher_params = jax.tree_util.tree_map(jnp.asarray, teacher_params)
 
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
@@ -281,6 +288,16 @@ def distill_fit(teacher_params, cfg: MatchaConfig, dcfg: DistillConfig,
         state, metrics = distill_step(state, teacher_params, key,
                                       jnp.asarray(x), jnp.asarray(x_lengths),
                                       cfg, dcfg, frame_bucket)
+        # Per-step scalar drain (doubles as a NaN guard, like fit()'s):
+        # dispatch is async and each queued step stages a fresh donated
+        # state copy host-side on the tunneled TPU — an undrained
+        # full-size (18M) distill run grew ~80 MB/step and was OOM-killed
+        # at step ~1600 (130 GB RSS).  One ~28 ms scalar fetch per step
+        # keeps the queue depth at 1.
+        loss_val = float(metrics["distill_loss"])
+        if not np.isfinite(loss_val):
+            raise FloatingPointError(
+                f"non-finite distill loss at step {step + 1}")
         if callback is not None:
             callback(step, metrics)
         elif (step + 1) % log_every == 0:

@@ -190,7 +190,8 @@ def _xla_generator_cfg(hcfg):
         return hcfg
     if getattr(hcfg, "mrf_kernel", "xla") == "xla" and not hcfg.use_pallas:
         return hcfg
-    return dataclasses.replace(hcfg, mrf_kernel="xla", use_pallas=False)
+    return dataclasses.replace(hcfg, mrf_kernel="xla", use_pallas=False,
+                               int8_levels=None)
 
 
 def _mel(audio, acfg: AudioConfig):
